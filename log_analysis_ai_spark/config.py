@@ -1,0 +1,35 @@
+"""Pipeline configuration shared by the Spark engine and the pandas oracle.
+
+Drain defaults mirror the reference (depth=4, similarity=0.5,
+max_children=100 — reference: src/data_loader_config.h:32-34). Everything
+else is this engine's spec; the oracle consumes the SAME instance, so the
+golden outputs always agree on thresholds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+# Shared parse regexes (used verbatim by both Spark `F.regexp_extract` and
+# pandas `.str.extract` so the two sides cannot drift).
+LEVEL_RE = r"^(?:\[[^\]]*\] ?)?(ERROR|WARNING|WARN|INFO|DEBUG|TRACE|FATAL)"
+DETECTED_TS_RE = r"(\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}Z?|\d{2}:\d{2}:\d{2})"
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # Drain (reference defaults, src/data_loader_config.h:32-34)
+    depth: int = 4
+    sim_threshold: float = 0.5
+    max_children: int = 100
+    # skew defusal: each logical shard splits into this many salted
+    # sub-shards (salt = xxh64(conv_id) % salt_buckets — deterministic per
+    # row, independent of parallelism); sub-shard catalogs merge by
+    # identical masked form.
+    salt_buckets: int = 4
+    # routing / rarity (frequency-based rarity scoring per template over
+    # event-time windows — BASELINE.json north_star)
+    window: str = "1 hour"
+    anomaly_min_count: int = 5   # window count below this => anomaly_flag
+    rare_min_count: int = 10     # global template count below this => class 'rare'

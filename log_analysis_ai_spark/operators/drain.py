@@ -1,0 +1,214 @@
+"""Two-pass distributed Drain template mining.
+
+Pass 1 (mine): rows are sharded by ``(token_count, masked_prefix)`` — the
+exact key that determines the reference Drain tree's leaf (reference:
+src/drain_parser.cpp:278-336) — salted by ``xxh64(conv_id) % salt_buckets``
+to defuse hot-template skew. Each salted sub-shard is mined sequentially in
+canonical (conv_id, turn_idx) order inside ``applyInPandas``; state never
+crosses shards, so the union of shard catalogs equals a sequential global
+run restricted to the same leaf partitioning. Sub-shard catalogs merge
+deterministically (salt order, identical masked forms collapse).
+
+Pass 2 (assign): the merged catalog (small — templates ≪ rows) is broadcast
+and every row is re-matched against the FINAL templates of its shard inside
+``mapInPandas``. Assignment is a pure function of (line, catalog), so the
+result is bit-identical at any parallelism level — this is what makes
+per-sink counts stable between N and 4N executors, unlike the reference's
+arrival-ordered cluster ids (reference: src/drain_parser.cpp:547).
+
+Scale note (100 TB): the broadcast catalog is the only driver-side state.
+Template catalogs for machine-generated logs grow with template cardinality,
+not data volume (typically 10^3–10^5 entries). If a workload ever produces a
+catalog too large to broadcast, swap `assign` for a shard-key equi-join (the
+shard-key column already exists) — semantics unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import drain_core as dc
+from ..config import PipelineConfig
+from ..hashing import template_id, xxh64
+
+# Vectorized equivalent of drain_core.is_number (exact automaton port,
+# reference: src/drain_parser.cpp:50-71); equivalence is property-tested.
+NUM_RE = r"[+-]?(?:\d+\.?\d*|\.\d+)"
+_NUM = re.compile(NUM_RE)
+
+_ANCHORED = [re.compile(p) for p in dc.DEFAULT_PREPROCESS_PATTERNS]
+
+
+def preprocess_series(s: pd.Series) -> pd.Series:
+    """Vectorized first-match-wins leading-noise strip (pandas .str ops)."""
+    out = s.copy()
+    done = pd.Series(False, index=s.index)
+    for pat in _ANCHORED:
+        m = out.str.match(pat) & ~done
+        if m.any():
+            out.loc[m] = out.loc[m].str.replace(pat, "", regex=True, n=1).str.lstrip(" ")
+            done |= m
+    return out
+
+
+def _shard_keys(texts: pd.Series, depth: int) -> pd.Series:
+    pre = preprocess_series(texts.fillna(""))
+    toks = pre.str.split(" ")
+    keys = []
+    for raw, t in zip(texts.fillna(""), toks):
+        if raw == "":
+            keys.append("0|")
+        else:
+            n = len(t)
+            keys.append(
+                f"{n}|" + " ".join(
+                    dc.WILDCARD if _NUM.fullmatch(x) else x for x in t[: min(depth, n)]
+                )
+            )
+    return pd.Series(keys, index=texts.index, dtype="object")
+
+
+def with_shard_key(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Add `shard_key` (string) and `salt` (int) columns."""
+    depth = cfg.depth
+
+    @F.pandas_udf("string")
+    def shard_key_udf(s: pd.Series) -> pd.Series:
+        return _shard_keys(s, depth)
+
+    return df.withColumn("shard_key", shard_key_udf(F.col("text"))).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(cfg.salt_buckets)).cast("int")
+    )
+
+
+def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list[list[str]]]:
+    """Pass 1: mine per salted sub-shard, merge per logical shard.
+
+    Returns {shard_key_str: [template token list, ...]} (creation order)."""
+    sim = cfg.sim_threshold
+
+    def mine_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        lines = preprocess_series(pdf["text"].astype(str)).tolist()
+        cat = dc.mine_shard(lines, sim)
+        return pd.DataFrame(
+            {
+                "shard_key": pdf["shard_key"].iloc[0],
+                "salt": int(pdf["salt"].iloc[0]),
+                "pos": range(len(cat)),
+                "template": [" ".join(t) for t in cat],
+            }
+        )
+
+    mined = (
+        df_with_keys.filter(F.col("text") != "")
+        .select("conv_id", "turn_idx", "text", "shard_key", "salt")
+        .groupBy("shard_key", "salt")
+        .applyInPandas(mine_fn, schema="shard_key string, salt int, pos int, template string")
+        .collect()  # catalog rows only — small by construction
+    )
+    per_shard: dict[str, list[tuple[int, int, str]]] = {}
+    for r in mined:
+        per_shard.setdefault(r.shard_key, []).append((r.salt, r.pos, r.template))
+    catalogs: dict[str, list[list[str]]] = {}
+    for skey, rows in per_shard.items():
+        seen: dict[str, list[str]] = {}
+        for _, _, tpl in sorted(rows):  # salt order, then creation order
+            seen.setdefault(tpl, tpl.split(" "))
+        catalogs[skey] = list(seen.values())
+    return catalogs
+
+
+def assign_templates(
+    df_with_keys: DataFrame, catalogs: dict[str, list[list[str]]], cfg: PipelineConfig
+) -> DataFrame:
+    """Pass 2: broadcast the final catalog; match every row; emit
+    template_id / template_str / params columns."""
+    spark = df_with_keys.sparkSession
+    # pre-mint ids once per template (hashing is per-catalog, not per-row)
+    catalog_ids = {
+        skey: [(tpl, " ".join(tpl), template_id(" ".join(tpl))) for tpl in cats]
+        for skey, cats in catalogs.items()
+    }
+    empty_id = template_id(dc.EMPTY_TEMPLATE)
+    bc = spark.sparkContext.broadcast(catalog_ids)
+    sim = cfg.sim_threshold
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df_with_keys.schema.fields
+    ) + ", template_id long, template_str string, params map<string,string>"
+
+    def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cats = bc.value
+        for pdf in batches:
+            pre = preprocess_series(pdf["text"].astype(str))
+            ids, strs, params = [], [], []
+            for raw, p, skey in zip(pdf["text"].astype(str), pre, pdf["shard_key"]):
+                if raw == "":
+                    ids.append(empty_id)
+                    strs.append(dc.EMPTY_TEMPLATE)
+                    params.append({})
+                    continue
+                toks = p.split(" ")
+                cand = cats.get(skey, [])
+                best_i, best_s = -1, -1.0
+                for i, (tpl, _, _) in enumerate(cand):
+                    if len(tpl) != len(toks):
+                        continue
+                    s = dc.similarity(toks, tpl)
+                    if s > best_s:
+                        best_i, best_s = i, s
+                if best_i >= 0 and best_s >= sim:
+                    tpl, tstr, tid = cand[best_i]
+                    ids.append(tid)
+                    strs.append(tstr)
+                    params.append(dc.extract_params(toks, tpl))
+                else:  # unseen line (assign-only mode): its own exact template
+                    tstr = " ".join(dc.mask_token(t) for t in toks)
+                    ids.append(template_id(tstr))
+                    strs.append(tstr)
+                    params.append(dc.extract_params(toks, tstr.split(" ")))
+            out = pdf.copy()
+            out["template_id"] = pd.array(ids, dtype="int64")
+            out["template_str"] = strs
+            out["params"] = params
+            yield out
+
+    return df_with_keys.mapInPandas(assign_fn, schema=out_schema)
+
+
+def templates_table(
+    spark: SparkSession, catalogs: dict[str, list[list[str]]], include_empty: bool
+) -> DataFrame:
+    """Materialize the mined template catalog as a DataFrame
+    (analog of the reference's `log_templates`, python/logai_agent.py:283-319)."""
+    rows, seen = [], set()
+    for skey in sorted(catalogs):
+        for tpl in catalogs[skey]:
+            s = " ".join(tpl)
+            if s in seen:
+                continue
+            seen.add(s)
+            rows.append((template_id(s), s, len(tpl), xxh64(skey)))
+    if include_empty:
+        rows.append((template_id(dc.EMPTY_TEMPLATE), dc.EMPTY_TEMPLATE, 0, xxh64("0|")))
+    return spark.createDataFrame(
+        rows, schema="template_id long, template_str string, token_count int, shard_key long"
+    )
+
+
+def mine_and_assign(
+    df: DataFrame, cfg: PipelineConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end two-pass Drain: returns (assigned turns, templates table)."""
+    cfg = cfg or PipelineConfig()
+    keyed = with_shard_key(df, cfg)
+    catalogs = mine_catalog(keyed, cfg)
+    assigned = assign_templates(keyed, catalogs, cfg).drop("salt")
+    has_empty = bool(df.filter(F.col("text") == "").limit(1).count())
+    templates = templates_table(df.sparkSession, catalogs, include_empty=has_empty)
+    return assigned, templates

@@ -1,0 +1,111 @@
+"""The end-to-end Spark pipeline: parse → mine → enrich → route → aggregate.
+
+Each stage is a plain function DataFrame→DataFrame (the Spark-native analog
+of the reference's pybind surface `parse_log_file` / `extract_attributes`,
+reference: src/python_bindings.cpp:193-212). All scalar work is native
+`pyspark.sql.functions` (JVM-side, whole-stage codegen); Python appears only
+in the Arrow-vectorized Drain UDFs (operators/drain.py).
+
+Plan-shape invariants (checked via .explain during development):
+- parse/enrich are narrow + one broadcast hash join each — no shuffle.
+- mining shuffles once on (shard_key, salt); rarity shuffles once on
+  (window_start, template_id); both keys are high-cardinality and salted.
+- the routed fanout is ONE partitioned write (partitionBy sink key), not a
+  per-sink loop — at 1000 executors a loop of filtered writes would rescan
+  the input once per sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .config import DETECTED_TS_RE, LEVEL_RE, PipelineConfig
+from .operators.drain import mine_and_assign
+
+
+def parse(df: DataFrame) -> DataFrame:
+    """Vectorized field extraction over the text column (the grok stage).
+
+    Analog of the reference's regex attribute extraction
+    (src/file_data_loader.cpp:713-748) — expressed as native JVM-side
+    `regexp_extract`, not a UDF."""
+    return df.withColumn(
+        "level", F.nullif(F.regexp_extract(F.col("text"), LEVEL_RE, 1), F.lit(""))
+    ).withColumn(
+        "detected_ts", F.nullif(F.regexp_extract(F.col("text"), DETECTED_TS_RE, 1), F.lit(""))
+    )
+
+
+def mine(df: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """Two-pass Drain (operators/drain.py): (turns+template cols, templates)."""
+    return mine_and_assign(df, cfg)
+
+
+def enrich(df: DataFrame, tool_lookup: DataFrame, role_lookup: DataFrame) -> DataFrame:
+    """Broadcast hash joins against the small lookup dims — no shuffle."""
+    return df.join(F.broadcast(tool_lookup), "tool", "left").join(
+        F.broadcast(role_lookup), "role", "left"
+    )
+
+
+def route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Frequency-based rarity scoring over event-time windows + sink keys.
+
+    window counts via a window-function over (window_start, template_id)
+    (one shuffle); global template counts via a second window over
+    template_id. anomaly_flag = window count below threshold; template_class
+    from param-count + global frequency (FIXTURES.md §4 sink key space)."""
+    df = df.withColumn("window_start", F.date_trunc("hour", F.col("ts")))
+    w_win = Window.partitionBy("window_start", "template_id")
+    w_tpl = Window.partitionBy("template_id")
+    n_params = F.size(F.split(F.col("template_str"), r"<\*>")) - F.lit(1)
+    return (
+        df.withColumn("window_count", F.count(F.lit(1)).over(w_win))
+        .withColumn("global_count", F.count(F.lit(1)).over(w_tpl))
+        .withColumn("rarity_score", F.lit(1.0) / F.col("window_count"))
+        .withColumn("anomaly_flag", F.col("window_count") < F.lit(cfg.anomaly_min_count))
+        .withColumn(
+            "template_class",
+            F.when(F.col("global_count") < F.lit(cfg.rare_min_count), F.lit("rare"))
+            .when(n_params == 0, F.lit("fixed"))
+            .otherwise(F.lit("parameterized")),
+        )
+        .drop("window_count", "global_count")
+    )
+
+
+def aggregate(routed: DataFrame) -> DataFrame:
+    """Per-template/per-tool windowed counts (partial agg map-side, one
+    shuffle on the group keys)."""
+    return routed.groupBy("window_start", "template_id", "tool").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+
+
+def sink_counts(routed: DataFrame) -> DataFrame:
+    """Per-sink row counts — the correctness gate vs the oracle."""
+    return routed.groupBy("template_class", "anomaly_flag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    tool_lookup: DataFrame,
+    role_lookup: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Build the full lazy plan; returns all derived tables (no actions
+    besides pass-1 mining's catalog collect)."""
+    cfg = cfg or PipelineConfig()
+    parsed = parse(transcripts)
+    assigned, templates = mine(parsed, cfg)
+    enriched = enrich(assigned, tool_lookup, role_lookup)
+    routed = route(enriched, cfg)
+    return {
+        "turns_parsed": assigned,
+        "templates": templates,
+        "routed": routed,
+        "agg_template_tool": aggregate(routed),
+        "sink_counts": sink_counts(routed),
+    }

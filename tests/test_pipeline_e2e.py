@@ -1,0 +1,117 @@
+"""End-to-end equality: Spark pipeline vs the pure-pandas oracle at sf-tiny
+(SURVEY.md §5.3). These are THE correctness gates from BASELINE.json:
+per-sink count equality, routed-row-set equality, per-turn text equality
+under (conv_id, turn_idx) ordering, template-set equality."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_ai_spark.config import PipelineConfig
+from log_analysis_ai_spark.hashing import xxh64
+from log_analysis_ai_spark.oracle import run_oracle
+from log_analysis_ai_spark.pipeline import run_pipeline
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_pdf, lookups_pdf):
+    tool_l, role_l = lookups_pdf
+    return run_oracle(tiny_pdf, tool_l, role_l, CFG)
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark, tiny_pdf, lookups_pdf):
+    tool_l, role_l = lookups_pdf
+    df = spark.createDataFrame(tiny_pdf)
+    return run_pipeline(df, spark.createDataFrame(tool_l), spark.createDataFrame(role_l), CFG)
+
+
+def test_xxhash64_parity_with_spark(spark):
+    """Python xxh64 == Spark F.xxhash64 (both seed 42) — the contract that
+    lets the oracle and the engine mint identical ids."""
+    vals = ["", "a", "conv-00000042", "User <*> logged in", "x" * 100]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == xxh64(v), v
+
+
+def test_per_sink_counts_equal(oracle, spark_out):
+    got = {
+        (r.template_class, r.anomaly_flag): r.n for r in spark_out["sink_counts"].collect()
+    }
+    want = {
+        (r.template_class, r.anomaly_flag): r.n
+        for r in oracle.sink_counts.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_template_set_equal(oracle, spark_out):
+    got = {(r.template_id, r.template_str, r.token_count) for r in spark_out["templates"].collect()}
+    want = {
+        (r.template_id, r.template_str, r.token_count)
+        for r in oracle.templates.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_per_turn_assignment_and_text_equality(oracle, spark_out):
+    got = (
+        spark_out["turns_parsed"]
+        .select("conv_id", "turn_idx", "text", "template_id", "template_str", "level")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    want = oracle.turns_parsed[
+        ["conv_id", "turn_idx", "text", "template_id", "template_str", "level"]
+    ].reset_index(drop=True)
+    assert len(got) == len(want)
+    # byte-equal text under stable (conv_id, turn_idx) ordering (input_hint)
+    assert got["text"].tolist() == want["text"].astype(str).tolist()
+    assert got["template_id"].tolist() == want["template_id"].tolist()
+    assert got["template_str"].tolist() == want["template_str"].tolist()
+    assert got["level"].fillna("∅").tolist() == want["level"].fillna("∅").tolist()
+
+
+def test_routed_row_set_equality(spark, oracle, spark_out):
+    """Two-way exceptAll emptiness on the routed rows (SURVEY.md §2.8)."""
+    cols = [
+        "conv_id", "turn_idx", "template_id", "tool_class", "role_kind",
+        "window_start", "rarity_score", "anomaly_flag", "template_class",
+    ]
+    got = spark_out["routed"].select(*cols)
+    want_pdf = oracle.routed[cols].copy()
+    want = spark.createDataFrame(want_pdf)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_agg_template_tool_equal(oracle, spark_out):
+    got = (
+        spark_out["agg_template_tool"]
+        .orderBy("window_start", "template_id", "tool")
+        .toPandas()
+    )
+    want = oracle.agg_template_tool.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_turns": "int64"}), want.astype({"n_turns": "int64"}), check_dtype=False
+    )
+
+
+def test_params_extracted(spark_out):
+    rows = (
+        spark_out["turns_parsed"]
+        .filter(F.col("text").rlike("^User \\d+ logged in$"))
+        .select("text", "params")
+        .limit(5)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        uid = r.text.split(" ")[1]
+        assert r.params == {"param_1": uid}
