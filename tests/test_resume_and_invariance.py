@@ -1,0 +1,87 @@
+"""Checkpoint/resume idempotency (SURVEY.md §5.5) and partition/order
+invariance (§5.4 — the in-process proxy for the N→4N cluster criterion;
+the true local[8]-vs-local[32] run is bench.py's scaling report)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_ai_spark.config import PipelineConfig
+from log_analysis_ai_spark.job import run_checkpointed
+from log_analysis_ai_spark.lineage import SinkStore
+from log_analysis_ai_spark.pipeline import run_pipeline
+
+CFG = PipelineConfig()
+
+
+def _sink_counts(out) -> dict:
+    return {(r.template_class, r.anomaly_flag): r.n for r in out["sink_counts"].collect()}
+
+
+@pytest.fixture()
+def frames(spark, tiny_pdf, lookups_pdf):
+    tool_l, role_l = lookups_pdf
+    return (
+        spark.createDataFrame(tiny_pdf),
+        spark.createDataFrame(tool_l),
+        spark.createDataFrame(role_l),
+    )
+
+
+def test_partition_and_order_invariance(spark, frames):
+    """Identical results when the input arrives in a different partitioning
+    and a scrambled row order — the property that makes counts stable
+    between N and 4N executors."""
+    t, tool_l, role_l = frames
+    a = run_pipeline(t.repartition(2), tool_l, role_l, CFG)
+    b = run_pipeline(t.orderBy(F.desc("ts")).repartition(17), tool_l, role_l, CFG)
+    assert _sink_counts(a) == _sink_counts(b)
+    ta = {(r.template_id, r.template_str) for r in a["templates"].collect()}
+    tb = {(r.template_id, r.template_str) for r in b["templates"].collect()}
+    assert ta == tb
+    ra = a["routed"].select("conv_id", "turn_idx", "template_id", "template_class", "anomaly_flag")
+    rb = b["routed"].select("conv_id", "turn_idx", "template_id", "template_class", "anomaly_flag")
+    assert ra.exceptAll(rb).count() == 0 and rb.exceptAll(ra).count() == 0
+
+
+def test_resume_is_idempotent(spark, frames, tmp_path):
+    t, tool_l, role_l = frames
+    wh = str(tmp_path / "wh")
+    store = SinkStore(wh)
+    out1 = run_checkpointed(spark, t, tool_l, role_l, store, CFG, input_desc="tiny")
+    clean = _sink_counts(out1)
+    n_lineage = len(store.lineage_rows())
+
+    # full re-run with resume: a no-op (no new lineage rows)
+    out2 = run_checkpointed(spark, t, tool_l, role_l, store, CFG, resume=True, input_desc="tiny")
+    assert len(store.lineage_rows()) == n_lineage
+    assert _sink_counts(out2) == clean
+
+    # simulate a kill after stage 1: drop stage-2+ outputs, resume
+    shutil.rmtree(store.table_path("routed"))
+    shutil.rmtree(store.table_path("agg_template_tool"))
+    shutil.rmtree(store.table_path("sink_counts"))
+    out3 = run_checkpointed(spark, t, tool_l, role_l, store, CFG, resume=True, input_desc="tiny")
+    assert _sink_counts(out3) == clean
+    rows = store.lineage_rows()
+    # stage 1 was NOT recomputed (still exactly one committed row each)
+    assert sum(r["stage"] == "turns_parsed" for r in rows) == 1
+    assert sum(r["stage"] == "routed" for r in rows) == 2
+    # per-partition lineage: the routed fanout recorded per-sink counts
+    routed_rows = [r for r in rows if r["stage"] == "routed"]
+    assert all(r["partitions"] for r in routed_rows)
+    assert sum(routed_rows[-1]["partitions"].values()) == sum(clean.values())
+
+
+def test_config_change_invalidates_checkpoint(spark, frames, tmp_path):
+    t, tool_l, role_l = frames
+    store = SinkStore(str(tmp_path / "wh2"))
+    run_checkpointed(spark, t, tool_l, role_l, store, CFG, input_desc="tiny")
+    cfg2 = PipelineConfig(anomaly_min_count=3)
+    out = run_checkpointed(spark, t, tool_l, role_l, store, cfg2, resume=True, input_desc="tiny")
+    # different fingerprint -> stages recomputed (2 committed rows per stage)
+    assert sum(r["stage"] == "turns_parsed" for r in store.lineage_rows()) == 2
+    assert out["sink_counts"].count() > 0
