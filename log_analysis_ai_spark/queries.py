@@ -1,0 +1,125 @@
+"""The reference's query/tool surface as thin DataFrame functions.
+
+Each function mirrors one DuckDB-backed tool of the reference agent/server
+(cited file:line), re-expressed as a lazy DataFrame op — `orderBy().limit()`
+compiles to TakeOrderedAndProject (distributed top-k, no full sort), counts
+are partial-aggregated map-side. The reference builds these as
+string-concatenated SQL (injectable, e.g. python/logai_agent.py:411-417);
+parameterized DataFrame expressions close that hole for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def search(df: DataFrame, query: str, text_col: str = "text", limit: int = 10) -> DataFrame:
+    """Substring search, newest first (reference: python/logai_agent.py:409-423)."""
+    return (
+        df.filter(F.col(text_col).contains(query))
+        .orderBy(F.desc("conv_id"), F.desc("turn_idx"))
+        .limit(limit)
+    )
+
+
+def filter_by_time(df: DataFrame, since: str, until: str, ts_col: str = "ts") -> DataFrame:
+    """Time-range filter (reference: python/logai_agent.py:475-491)."""
+    return df.filter(F.col(ts_col).between(F.lit(since).cast("timestamp"), F.lit(until).cast("timestamp")))
+
+
+def filter_by_level(
+    df: DataFrame, levels: list[str], exclude: bool = False, col: str = "role"
+) -> DataFrame:
+    """level IN / NOT IN (reference: python/logai_agent.py:493-511)."""
+    pred = F.col(col).isin(levels)
+    return df.filter(~pred if exclude else pred)
+
+
+def filter_relative_time(df: DataFrame, interval: str, anchor, ts_col: str = "ts") -> DataFrame:
+    """ts >= anchor - INTERVAL (reference: python/specialized_agents.py:244-248).
+    The anchor is explicit — never wall-clock — to keep queries deterministic."""
+    return df.filter(F.col(ts_col) >= F.lit(anchor).cast("timestamp") - F.expr(f"INTERVAL {interval}"))
+
+
+def count_occurrences(df: DataFrame, query: str, text_col: str = "text") -> int:
+    """COUNT with LIKE filter (reference: python/logai_agent.py:459-461)."""
+    return df.filter(F.col(text_col).contains(query)).count()
+
+
+def count_by(df: DataFrame, col: str = "role") -> DataFrame:
+    """GROUP BY <col> ORDER BY count DESC (reference: python/logai_agent.py:447-457)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("count")).orderBy(F.desc("count"))
+
+
+def template_frequency(df: DataFrame) -> DataFrame:
+    """Template -> count (reference: python/logai_agent.py:283-304 — done
+    there in a driver-side Python dict; here a distributed groupBy)."""
+    return (
+        df.groupBy("template_id", "template_str")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "template_id")
+    )
+
+
+def time_range(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """MIN/MAX timestamp (reference: python/logai_agent.py:433-441)."""
+    return df.agg(F.min(ts_col).alias("min_ts"), F.max(ts_col).alias("max_ts"))
+
+
+def summarize(df: DataFrame) -> DataFrame:
+    """Breakdown by role + total via rollup (reference:
+    python/logai_agent.py:447-457 computes the total client-side)."""
+    return (
+        df.rollup("role")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("role").asc_nulls_first())
+    )
+
+
+def statistics(df: DataFrame, col: str) -> DataFrame:
+    """Descriptive stats of a numeric column (reference:
+    python/data_analysis_agent.py:161-169): mean/median/std/min/max/count/
+    nunique — median as percentile_approx, nunique exact + approx."""
+    c = F.col(col)
+    return df.agg(
+        F.mean(c).alias("mean"),
+        F.expr(f"percentile_approx({col}, 0.5)").alias("median"),
+        F.stddev(c).alias("std"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.count(c).alias("count"),
+        F.countDistinct(c).alias("nunique"),
+        F.approx_count_distinct(col).alias("approx_nunique"),
+    )
+
+
+def trending_templates(df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k templates by count (reference: python/logai_agent.py:530-535);
+    the real trend version the reference stubs: per-window counts ranked."""
+    return template_frequency(df).limit(k)
+
+
+def pivot_counts(df: DataFrame, y: str, x: str, x_values: list[str] | None = None) -> DataFrame:
+    """Heatmap pivot (reference: python/data_analysis_agent.py:176,275-281).
+    Pass x_values at scale — without them Spark must scan once to discover
+    the pivot columns."""
+    g = df.groupBy(y)
+    p = g.pivot(x, x_values) if x_values else g.pivot(x)
+    return p.count().na.fill(0)
+
+
+def logs_page(df: DataFrame, limit: int = 100, offset: int = 0) -> DataFrame:
+    """Paged listing (reference: python/logai_server.py:349-378). OFFSET
+    requires a total order; at scale prefer keyset pagination (filter on the
+    last-seen key) — implemented here as the reference-compatible version."""
+    w = F.row_number().over(Window.orderBy("conv_id", "turn_idx"))
+    return df.withColumn("_rn", w).filter(F.col("_rn") > offset).limit(limit).drop("_rn")
+
+
+def execute_sql(spark, sql: str, views: dict[str, DataFrame] | None = None) -> DataFrame:
+    """Arbitrary SQL passthrough (reference: python/logai_agent.py:385-405)."""
+    for name, df in (views or {}).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(sql)

@@ -1,0 +1,89 @@
+"""Query tool surface tests (SURVEY.md §2.2/2.4/2.7 — the reference's
+DuckDB tools re-expressed as DataFrame ops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_ai_spark import queries as Q
+
+
+@pytest.fixture(scope="module")
+def turns(spark, tiny_pdf):
+    return spark.createDataFrame(tiny_pdf).cache()
+
+
+def test_search(turns):
+    rows = Q.search(turns, "logged in", limit=5).collect()
+    assert 0 < len(rows) <= 5
+    assert all("logged in" in r.text for r in rows)
+
+
+def test_filter_by_time(turns):
+    n = Q.filter_by_time(turns, "2025-01-01 00:00:00", "2025-01-02 00:00:00").count()
+    assert 0 < n < turns.count()
+
+
+def test_filter_by_level(turns):
+    assert Q.filter_by_level(turns, ["user"]).select("role").distinct().collect() == [("user",)]
+    ex = Q.filter_by_level(turns, ["user"], exclude=True)
+    assert "user" not in {r.role for r in ex.select("role").distinct().collect()}
+
+
+def test_filter_relative_time(turns):
+    n = Q.filter_relative_time(turns, "1 HOUR", "2025-01-04 00:00:00").count()
+    assert n > 0
+
+
+def test_counts(turns):
+    assert Q.count_occurrences(turns, "logged in") > 0
+    by_role = {r.role: r["count"] for r in Q.count_by(turns, "role").collect()}
+    assert set(by_role) == {"user", "assistant", "tool", "system"}
+    assert sum(by_role.values()) == turns.count()
+
+
+def test_summarize_rollup(turns):
+    rows = Q.summarize(turns).collect()
+    total = [r for r in rows if r.role is None][0]["count"]
+    assert total == turns.count()
+
+
+def test_time_range(turns):
+    r = Q.time_range(turns).collect()[0]
+    assert r.min_ts < r.max_ts
+
+
+def test_statistics(turns):
+    r = Q.statistics(turns.withColumn("n", F.length("text")), "n").collect()[0]
+    assert r["count"] == turns.count() and r["min"] <= r["median"] <= r["max"]
+    assert r["nunique"] > 1 and r["approx_nunique"] > 1
+
+
+def test_pivot_counts(turns):
+    pdf = Q.pivot_counts(turns, "role", "tool", ["search", "browser", "none"]).toPandas()
+    assert set(pdf.columns) == {"role", "search", "browser", "none"}
+    expected = turns.filter(F.col("tool").isin(["search", "browser", "none"])).count()
+    assert pdf[["search", "browser", "none"]].to_numpy().sum() == expected
+
+
+def test_logs_page(turns):
+    a = Q.logs_page(turns, limit=10, offset=0).collect()
+    b = Q.logs_page(turns, limit=10, offset=10).collect()
+    assert len(a) == len(b) == 10
+    assert {(r.conv_id, r.turn_idx) for r in a}.isdisjoint({(r.conv_id, r.turn_idx) for r in b})
+
+
+def test_execute_sql(spark, turns):
+    df = Q.execute_sql(spark, "SELECT role, count(*) AS n FROM t GROUP BY role", {"t": turns})
+    assert df.count() == 4
+
+
+def test_trending(spark, turns):
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.operators.drain import mine_and_assign
+
+    assigned, _ = mine_and_assign(turns, PipelineConfig())
+    top = Q.trending_templates(assigned, k=5).collect()
+    assert len(top) == 5
+    assert top[0]["count"] >= top[-1]["count"]

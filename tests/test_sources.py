@@ -1,0 +1,126 @@
+"""Format-parser tests (SURVEY.md §2.1) — round-trip style: synthesize
+lines with known fields, parse, assert recovery. JSONL shape mirrors the
+reference's sample data (FIXTURES.md §5 — vendored shape, not read from the
+reference tree)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_ai_spark.sources import (
+    extract_attributes,
+    parse_cef,
+    parse_format,
+    parse_jsonl,
+    parse_log4j,
+    parse_logfmt,
+    parse_syslog,
+    split_valid,
+    to_timestamp_multi,
+)
+
+JSONL_SAMPLES = [
+    {"timestamp": "2025-03-01T10:00:00", "level": "INFO", "message": "Server started", "server_id": "srv-42", "version": "2.1.0"},
+    {"timestamp": "2025-03-01T10:00:05", "level": "ERROR", "msg": "Connection dropped", "user_id": 1042, "seconds": 37},
+    {"time": "2025-03-01 10:00:10", "severity": "WARN", "message": "High CPU", "cpu_usage": 93.5},
+]
+
+
+def _lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_parse_jsonl(spark):
+    df = parse_jsonl(_lines_df(spark, [json.dumps(s) for s in JSONL_SAMPLES] + ["{not json"]))
+    rows = df.collect()
+    assert rows[0].message == "Server started" and rows[0].level == "INFO"
+    assert rows[1].message == "Connection dropped"  # msg fallback
+    assert rows[2].level == "WARN"  # severity fallback
+    assert rows[2].ts is not None and rows[0].ts is not None  # time|timestamp
+    assert rows[1].fields["user_id"] == "1042"  # scalars stringified into map
+    valid, dead = split_valid(df)
+    assert valid.count() == 3 and dead.count() == 1
+
+
+def test_parse_syslog(spark):
+    lines = [
+        "<34>Oct 11 22:14:15 myhost su[1234]: 'su root' failed for u on /dev/pts/8",
+        "<13>2025-03-01T10:00:00Z host2 prog: hello world",
+        "Oct  1 00:00:01 h3 cron[7]: job done",
+        "totally not syslog",
+    ]
+    df = parse_syslog(_lines_df(spark, lines))
+    rows = df.collect()
+    # pri 34 -> facility 4 (auth), severity 2 (crit)  [RFC3164 math]
+    assert rows[0].facility == 4 and rows[0].severity_num == 2
+    assert rows[0].severity == "crit" and rows[0].facility_name == "auth"
+    assert rows[0].host == "myhost" and rows[0].program == "su" and rows[0].pid == 1234
+    assert rows[0].message.startswith("'su root' failed")
+    assert rows[1].pri == 13 and rows[1].host == "host2" and rows[1].ts is not None
+    assert rows[2].pri is None and rows[2].program == "cron"
+    valid, dead = split_valid(df)
+    assert valid.count() == 3 and dead.count() == 1
+
+
+def test_parse_logfmt(spark):
+    lines = ['ts=2025-03-01T10:00:00 level=info msg="user login ok" user=42 ip=1.2.3.4']
+    rows = parse_logfmt(_lines_df(spark, lines)).collect()
+    f = rows[0].fields
+    assert f["level"] == "info" and f["user"] == "42" and f["ip"] == "1.2.3.4"
+    assert f["msg"] == "user login ok"  # quoted value with spaces
+    assert rows[0].ts is not None and rows[0].level == "info"
+
+
+def test_parse_log4j(spark):
+    lines = ["2025-03-01 10:00:00,123 ERROR [main] com.app.Service: boom happened"]
+    rows = parse_log4j(_lines_df(spark, lines)).collect()
+    r = rows[0]
+    assert r.level == "ERROR" and r.thread == "main" and r.logger == "com.app.Service"
+    assert r.message == "boom happened" and r.ts is not None
+
+
+def test_parse_cef(spark):
+    lines = ["CEF:0|Vendor|Product|1.0|100|Port scan|5|src=10.0.0.1 dst=10.0.0.2 spt=1234"]
+    r = parse_cef(_lines_df(spark, lines)).collect()[0]
+    assert r.vendor == "Vendor" and r.signature_id == "100" and r.severity == "5"
+    assert r.extension["src"] == "10.0.0.1" and r.extension["spt"] == "1234"
+
+
+def test_parse_regex_and_factory(spark):
+    df = parse_format(
+        _lines_df(spark, ["GET /api/x 200 12ms", "POST /y 500 3ms"]),
+        "regex",
+        pattern=r"^(\w+) (\S+) (\d+) (\d+)ms$",
+        group_names=["method", "path", "status", "ms"],
+    )
+    rows = df.collect()
+    assert rows[0].method == "GET" and rows[1].status == "500"
+    with pytest.raises(ValueError, match="unknown format"):
+        parse_format(df, "nope")
+
+
+def test_extract_attributes(spark):
+    df = extract_attributes(
+        _lines_df(spark, ["user=42 action=login", "no match"]),
+        {"user": r"user=(\d+)", "action": r"action=(\w+)"},
+        col="value",
+    )
+    rows = df.collect()
+    assert rows[0].user == "42" and rows[0].action == "login"
+    assert rows[1].user == ""  # unmatched -> empty string (reference semantics)
+
+
+def test_timestamp_fallback_chain(spark):
+    vals = [
+        "2025-03-01T10:00:00.123456+00:00", "2025-03-01T10:00:00", "2025-03-01 10:00:00",
+        "2025/03/01 10:00:00", "01/Mar/2025:10:00:00", "not a ts",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        to_timestamp_multi("s").alias("ts")
+    )
+    got = [r.ts for r in df.collect()]
+    assert all(t is not None for t in got[:5])
+    assert got[5] is None
