@@ -1,0 +1,48 @@
+"""Anomaly scoring operators.
+
+- z-score flagging (reference: python/data_analysis_agent.py:170-174 does
+  this in driver-side pandas; here it's a global agg broadcast back over the
+  data, or a window per group — both fully distributed).
+- frequency rarity over event-time windows lives in pipeline.route().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def zscore_global(df: DataFrame, col: str, k: float = 3.0) -> DataFrame:
+    """Flag rows where |x - mean| > k*std. One tiny agg, crossjoin-broadcast
+    of the 1-row stats (no second scan shuffle)."""
+    stats = df.agg(F.mean(col).alias("_mu"), F.stddev(col).alias("_sigma"))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("zscore", (F.col(col) - F.col("_mu")) / F.col("_sigma"))
+        .withColumn("is_anomaly", F.abs(F.col("zscore")) > F.lit(k))
+        .drop("_mu", "_sigma")
+    )
+
+
+def zscore_by_group(df: DataFrame, col: str, group: list[str], k: float = 3.0) -> DataFrame:
+    """Per-group z-score via window aggregates (one shuffle on the group key)."""
+    w = Window.partitionBy(*group)
+    mu = F.mean(col).over(w)
+    sigma = F.stddev(col).over(w)
+    return df.withColumn("zscore", (F.col(col) - mu) / sigma).withColumn(
+        "is_anomaly", F.abs(F.col("zscore")) > F.lit(k)
+    )
+
+
+def rate_anomalies(
+    df: DataFrame, ts_col: str = "ts", key: str = "event_type", window: str = "1 hour", k: float = 3.0
+) -> DataFrame:
+    """Volume-spike detection: count per (key, window), then z-score the
+    counts within each key across windows."""
+    counts = df.groupBy(key, F.window(ts_col, window).alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return zscore_by_group(counts, "n", [key], k).select(
+        key, F.col("w.start").alias("window_start"), "n", "zscore", "is_anomaly"
+    )

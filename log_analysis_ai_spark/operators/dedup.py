@@ -1,0 +1,199 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side (`xxhash64`, array functions) — Python appears
+only in the SimHash bit-fold (Arrow-vectorized numpy). Designed for the
+100 TB regime:
+
+- exact: one shuffle on the text hash (not the text bytes — hashing first
+  keeps shuffle rows narrow).
+- MinHash+LSH: k salted-hash signatures computed in-scan (no shuffle),
+  banding turns the O(n²) pair space into per-bucket joins; candidate
+  verification is an equi-join + native array intersection.
+- SimHash: 64-bit signature, 4×16-bit band index for Hamming-≤3 recall.
+- n-gram Jaccard: exact verification primitive over shingle arrays.
+- embedding cosine: see operators/similarity.py (near_dup_embeddings).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per distinct text. Shuffles on
+    xxhash64(text) (64-bit collision odds negligible below ~10^9 distinct
+    texts; swap in sha2 if the corpus exceeds that)."""
+    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def word_shingles(text_col: str = "text", n: int = 3):
+    """Word n-gram shingle array expression (lowercased, space-tokenized)."""
+    toks = F.split(F.lower(F.col(text_col)), " +")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def minhash_signature(shingles, k: int = 64):
+    """k-permutation MinHash as k salted xxhash64 min-folds — pure JVM.
+    (Salting replaces the classic (a*h+b) mod p permutations to stay clear
+    of ANSI-mode long-overflow; same independence guarantees in practice.)"""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    Returns (id_a, id_b) with id_a < id_b, distinct."""
+    r = k // bands
+    sig = minhash_signature(word_shingles(text_col, shingle_n), k)
+    banded = df.select(
+        F.col(id_col).alias("_id"), sig.alias("_sig")
+    ).select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.transform(F.slice("_sig", b * r + 1, r), lambda x: x.cast("string")))
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (verification stage).
+    Native array_intersect/array_union on distinct shingle sets."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )
+    return out.select("id_a", "id_b", *[c for c in out.columns if c not in ("id_a", "id_b")])
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash LSH candidates verified by exact Jaccard >= threshold."""
+    cand = minhash_candidates(df, text_col, id_col, k, bands, shingle_n)
+    return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_signature_udf():
+    """64-bit SimHash over space tokens — Arrow-vectorized numpy bit fold."""
+
+    @F.pandas_udf("long")
+    def simhash(tokens_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(tokens_hashes), dtype=np.uint64)
+        for i, hs in enumerate(tokens_hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            out[i] = np.packbits(acc > 0, bitorder="little").view(np.uint64)[0]
+        return pd.Series(out.astype(np.int64))
+
+    return simhash
+
+
+def simhash_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Add a `simhash` column: token hashes JVM-side, bit fold in numpy."""
+    tok_hashes = F.transform(F.split(F.lower(F.col(text_col)), " +"), lambda t: F.xxhash64(t))
+    return df.withColumn("simhash", simhash_signature_udf()(tok_hashes))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash Hamming distance: band the 64-bit signature into
+    4×16-bit chunks (any Hamming-≤3 pair shares at least one chunk by
+    pigeonhole), bucket-join, verify with bit_count(xor)."""
+    sh = simhash_docs(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
+    banded = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k: exact baseline. The JVM-native expression
+  (zip_with + aggregate) keeps everything in codegen for oracle-checkable
+  queries; the numpy mapInPandas variant is the throughput path (Arrow
+  batches → one BLAS matmul per batch, per-partition top-k, tiny global
+  merge — never materializes the full score matrix).
+- LSH-bucketed ANN: deterministic random-hyperplane signs bucket the
+  vectors; query probes its bucket (+ optional multi-probe) and reranks
+  exactly. At 100 TB the bucket join replaces the full scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(vec_col: str, query: list[float]):
+    """JVM-native cosine similarity against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_q = float(np.sqrt(np.sum(np.asarray(query, dtype="float64") ** 2)))
+    return dot / (norm_v * F.lit(norm_q))
+
+
+def cosine_topk(
+    df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact brute-force top-k (native expression; TakeOrderedAndProject)."""
+    return (
+        df.select(id_col, cosine_expr(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_topk_numpy(
+    df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Throughput variant: one matmul per Arrow batch, per-partition top-k."""
+    qv = np.asarray(query, dtype="float32")
+    qn = np.linalg.norm(qv)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy())
+            norms = np.linalg.norm(m, axis=1) * qn
+            cos = (m @ qv) / np.where(norms == 0, 1.0, norms)
+            top = np.argsort(-cos)[:k]  # partition-local prune
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[top], "cosine": cos[top].astype("float64")})
+
+    scored = df.select(id_col, vec_col).mapInPandas(score, schema=f"{id_col} long, cosine double")
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim)).astype("float32")
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes.T) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((signs @ weights).astype("int64"))
+
+    return bucket
+
+
+def ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """ANN: probe the query's hyperplane bucket (plus `multiprobe` buckets
+    at Hamming distance 1), rerank exactly. Recall/cost tunable via
+    n_planes / multiprobe. The scale path: bucket column is precomputable
+    and partition-prunable."""
+    qv = np.asarray(query, dtype="float32")
+    planes = _hyperplanes(len(query), n_planes, seed)
+    qsig = int(((qv @ planes.T) > 0) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(min(multiprobe, n_planes))]
+    bucketed = df.withColumn("_bucket", lsh_bucket_udf(len(query), n_planes, seed)(F.col(vec_col)))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return cosine_topk_numpy(cand, query, k, vec_col, id_col)
+
+
+def near_dup_embeddings(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-bucket join, exact
+    cosine verification inside buckets (id_a < id_b)."""
+    b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
+        "_bucket", lsh_bucket_udf(len(df.select(vec_col).first()[0]), n_planes, seed)(F.col("_v"))
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r, (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id"))
+    ).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.col("l._v").alias("va"),
+        F.col("r._v").alias("vb"),
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["va"].to_numpy())
+            c = np.stack(pdf["vb"].to_numpy())
+            cos = np.einsum("ij,ij->i", a, c) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(c, axis=1)
+            )
+            out = pdf[["id_a", "id_b"]].copy()
+            out["cosine"] = cos.astype("float64")
+            yield out[out["cosine"] >= threshold]
+
+    return pairs.mapInPandas(verify, schema="id_a long, id_b long, cosine double")

@@ -1,0 +1,159 @@
+"""Dedup / similarity-search / text-analysis operator tests, over the
+driver-provided documents and embeddings tables (TESTDATA.md) plus
+hand-built cases with known answers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_ai_spark.functions import with_text_stats
+from log_analysis_ai_spark.functions.text import lang_id
+from log_analysis_ai_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_near_dups,
+    simhash_docs,
+    simhash_near_dups,
+)
+from log_analysis_ai_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    cosine_topk_numpy,
+    near_dup_embeddings,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_dedup_exact_known_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_exact(df).collect())
+    assert kept == [1, 3]  # lowest id per distinct text
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this sentence with no overlap at all here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_near_dups(df, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(r.jaccard > 0.5 for r in pairs)
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    j = jaccard_pairs(df, pairs, shingle_n=2).collect()[0].jaccard
+    # 2-shingles: {a b, b c, c d} vs {a b, b c, c e}: |∩|=2, |∪|=4
+    assert abs(j - 0.5) < 1e-9
+
+
+def test_simhash_identical_and_near(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz qq ww ee")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+    assert sh[1] == sh[2] != sh[3]
+    pairs = simhash_near_dups(df, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_minhash_on_documents_table(docs):
+    pairs = minhash_near_dups(docs, threshold=0.8)
+    rows = pairs.collect()
+    assert len(rows) > 0  # corpus contains seeded near-dups
+    assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
+
+
+def test_cosine_topk_variants_agree(emb):
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    a = [(r.vec_id, round(r.cosine, 6)) for r in cosine_topk(emb, q, k=10).collect()]
+    b = [(r.vec_id, round(r.cosine, 6)) for r in cosine_topk_numpy(emb, q, k=10).collect()]
+    assert a == b
+    assert a[0][0] == 0 and abs(a[0][1] - 1.0) < 1e-6  # self is the top hit
+
+
+def test_cosine_topk_matches_numpy_oracle(emb):
+    q = np.asarray(emb.filter(F.col("vec_id") == 7).select("embedding").first()[0])
+    pdf = emb.toPandas()
+    m = np.stack(pdf.embedding.to_numpy())
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    want = set(pdf.vec_id.to_numpy()[np.argsort(-cos)[:5]].tolist())
+    got = {r.vec_id for r in cosine_topk(emb, q.tolist(), k=5).collect()}
+    assert got == want
+
+
+def test_ann_topk_recalls_self_and_reranks(emb):
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    rows = ann_topk(emb, q, k=5, n_planes=4, multiprobe=4).collect()
+    assert rows[0].vec_id == 3  # exact rerank puts self first
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=5).collect()}
+    assert {r.vec_id for r in rows} & exact  # nontrivial recall
+
+
+def test_near_dup_embeddings_finds_planted(spark, emb):
+    v = emb.limit(2).toPandas()
+    base = np.asarray(v.embedding[0], dtype="float64")
+    planted = spark.createDataFrame(
+        [(9001, base.tolist()), (9002, (base * 1.001).tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = near_dup_embeddings(
+        emb.select("vec_id", "embedding").unionByName(planted), threshold=0.999
+    ).collect()
+    assert any({r.id_a, r.id_b} >= {9001, 9002} or (r.id_a, r.id_b) == (9001, 9002) for r in pairs)
+
+
+def test_text_stats(docs):
+    out = with_text_stats(docs).select(
+        "doc_id", "text", "n_tokens_ws", "n_tokens_bpe", "quality", "lang_pred", "fingerprint"
+    )
+    r = out.first()
+    assert r.n_tokens_ws == len(r.text.split(" "))
+    assert 0.0 <= r.quality <= 1.0
+    assert len(r.fingerprint) == 32
+
+
+def test_lang_id_known_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the market in a hurry"),
+            (2, "le chat et le chien pour la maison dans un jardin"),
+            (3, "el gato y el perro es una casa por la ciudad"),
+            (4, "der hund und die katze ist ein haus mit von zu"),
+            (5, "xqz brp mlk"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", lang_id().alias("lang")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    from log_analysis_ai_spark.functions.text import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "id long, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", doc_fingerprint().alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
