@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: synthesize log lines from the sf0.001 events
+table, run the full parse → Drain-mine → aggregate pipeline, return the
+template frequency table.
+
+`queries()` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data operator set); each callable is (spark, sf_dir) -> DataFrame.
+
+`oracle_sql()` — DuckDB-equivalent SQL for every SQL-expressible query
+(same aliases, floats rounded in BOTH engines to absorb summation-order
+ulps). Genuinely non-SQL ops (Drain mining, MinHash/SimHash LSH, ANN,
+multimodal) have no oracle → driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +18,586 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fixture_convs(sf_dir: str) -> int:
+    if "0.001" in sf_dir:
+        return 180
+    if "0.01" in sf_dir:
+        return 1000
+    return 5500
+
+
+# ---------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Events → synthetic log lines → parse → Drain mine → template counts."""
+    from log_analysis_ai_spark import queries as Q
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.operators.drain import mine_and_assign
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.format_string(
+            "INFO: event %s by user %d value %d", "event_type", "user_id", F.floor("value").cast("long")
+        ).alias("text"),
+    )
+    assigned, _, _ = mine_and_assign(lines, PipelineConfig(salt_buckets=2))
+    return Q.template_frequency(assigned)
+
+
+# ---------------------------------------------------------------- queries
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q3_top_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _q5_region_supplier_revenue(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def _top_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("price"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def _customer_order_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+def _orders_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def _part_type_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_type")
+    )
+
+
+def _events_hourly(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def _events_pivot_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    kinds = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    out = ev.groupBy("user_id")
+    agg = [F.sum(F.when(F.col("event_type") == k, 1).otherwise(0)).alias(f"n_{k}") for k in sorted(kinds)]
+    return out.agg(*agg).orderBy("user_id")
+
+
+def _events_props_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_k"))
+        .orderBy("event_type")
+    )
+
+
+def _events_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("new_sess") + 1).alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def _events_zscore(spark, sf_dir):
+    from log_analysis_ai_spark.operators.anomaly import zscore_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    out = zscore_by_group(ev, "value", ["event_type"], k=2.0)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0)).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _time_range_events(spark, sf_dir):
+    from log_analysis_ai_spark.queries import time_range
+
+    return time_range(_t(spark, sf_dir, "events"))
+
+
+def _docs_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").contains("spark window"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+def _docs_dedup_exact(spark, sf_dir):
+    from log_analysis_ai_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id").orderBy("doc_id")
+
+
+def _docs_token_stats(spark, sf_dir):
+    from log_analysis_ai_spark.functions.text import token_count_bpe_ish, token_count_ws
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count_ws().alias("n_tokens_ws"),
+            token_count_bpe_ish().alias("n_tokens_bpe"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _docs_quality(spark, sf_dir):
+    from log_analysis_ai_spark.functions.text import quality_score
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.round(quality_score(), 4).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+def _docs_langid(spark, sf_dir):
+    from log_analysis_ai_spark.functions.text import lang_id
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(lang_id().alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def _docs_fingerprint(spark, sf_dir):
+    from log_analysis_ai_spark.functions.text import doc_fingerprint
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", doc_fingerprint().alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def _emb_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qd = [float(x) for x in q]
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qlit = F.array(*[F.lit(x) for x in qd])
+    dot = F.aggregate(F.zip_with(vec_d, qlit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    nq = sum(x * x for x in qd) ** 0.5
+    return (
+        emb.select("vec_id", F.round(dot / (nv * F.lit(nq)), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+def _syslog_roundtrip(spark, sf_dir):
+    """Synthesize syslog lines from events, parse them back, return fields —
+    the oracle computes the same fields directly (round-trip correctness)."""
+    from log_analysis_ai_spark.sources import parse_syslog
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            "<%d>2024-01-05T10:00:00Z host%d proc[%d]: event %s value %d",
+            F.pmod("event_id", F.lit(192)).cast("int"),
+            F.pmod("user_id", F.lit(16)).cast("int"),
+            F.pmod("event_id", F.lit(32768)).cast("int"),
+            "event_type",
+            F.floor("value").cast("long"),
+        ).alias("value"),
+    )
+    return (
+        parse_syslog(lines)
+        .select("event_id", "pri", "facility", "severity_num", "host", "pid", "message")
+        .orderBy("event_id")
+    )
+
+
+def _logfmt_roundtrip(spark, sf_dir):
+    from log_analysis_ai_spark.sources import parse_logfmt
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            'level=info user=%d msg="event %s" val=%d',
+            "user_id",
+            "event_type",
+            F.floor("value").cast("long"),
+        ).alias("value"),
+    )
+    parsed = parse_logfmt(lines)
+    return parsed.select(
+        "event_id",
+        F.element_at("fields", "user").cast("long").alias("user_id"),
+        F.element_at("fields", "msg").alias("msg"),
+        F.element_at("fields", "val").cast("long").alias("val"),
+    ).orderBy("event_id")
+
+
+# ---- rows-only (non-SQL-expressible: LSH/mining/ANN/multimodal) -----------
+
+def _docs_minhash_near_dups(spark, sf_dir):
+    from log_analysis_ai_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.8).orderBy("id_a", "id_b")
+
+
+def _docs_simhash_near_dups(spark, sf_dir):
+    from log_analysis_ai_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _emb_ann_topk(spark, sf_dir):
+    from log_analysis_ai_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ann_topk(emb, q, k=10, n_planes=6, multiprobe=6)
+
+
+def _pipeline_template_counts(spark, sf_dir):
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.fixtures import gen_transcripts
+    from log_analysis_ai_spark.operators.drain import mine_and_assign
+    from log_analysis_ai_spark.queries import template_frequency
+
+    t = spark.createDataFrame(gen_transcripts(_fixture_convs(sf_dir)))
+    assigned, _, _ = mine_and_assign(t, PipelineConfig())
+    return template_frequency(assigned)
+
+
+def _pipeline_sink_counts(spark, sf_dir):
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.fixtures import gen_role_lookup, gen_tool_lookup, gen_transcripts
+    from log_analysis_ai_spark.pipeline import run_pipeline
+
+    out = run_pipeline(
+        spark.createDataFrame(gen_transcripts(_fixture_convs(sf_dir))),
+        spark.createDataFrame(gen_tool_lookup()),
+        spark.createDataFrame(gen_role_lookup()),
+        PipelineConfig(),
+    )
+    return out["sink_counts"].orderBy("template_class", "anomaly_flag")
+
+
+def _pipeline_agg_template_tool(spark, sf_dir):
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.fixtures import gen_role_lookup, gen_tool_lookup, gen_transcripts
+    from log_analysis_ai_spark.pipeline import run_pipeline
+
+    out = run_pipeline(
+        spark.createDataFrame(gen_transcripts(_fixture_convs(sf_dir))),
+        spark.createDataFrame(gen_tool_lookup()),
+        spark.createDataFrame(gen_role_lookup()),
+        PipelineConfig(),
+    )
+    return out["agg_template_tool"].orderBy("window_start", "template_id", "tool")
+
+
+def _media_features(spark, sf_dir):
+    from log_analysis_ai_spark.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 48)).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_revenue": _q3_top_revenue,
+        "q5_region_supplier_revenue": _q5_region_supplier_revenue,
+        "top_orders": _top_orders,
+        "customer_order_rank": _customer_order_rank,
+        "orders_rollup": _orders_rollup,
+        "part_type_stats": _part_type_stats,
+        "events_hourly": _events_hourly,
+        "events_pivot_user": _events_pivot_user,
+        "events_props_json": _events_props_json,
+        "events_sessions": _events_sessions,
+        "events_zscore": _events_zscore,
+        "time_range_events": _time_range_events,
+        "docs_search": _docs_search,
+        "docs_dedup_exact": _docs_dedup_exact,
+        "docs_token_stats": _docs_token_stats,
+        "docs_quality": _docs_quality,
+        "docs_langid": _docs_langid,
+        "docs_fingerprint": _docs_fingerprint,
+        "emb_topk": _emb_topk,
+        "syslog_roundtrip": _syslog_roundtrip,
+        "logfmt_roundtrip": _logfmt_roundtrip,
+        # rows-only (no SQL oracle):
+        "docs_minhash_near_dups": _docs_minhash_near_dups,
+        "docs_simhash_near_dups": _docs_simhash_near_dups,
+        "emb_ann_topk": _emb_ann_topk,
+        "pipeline_template_counts": _pipeline_template_counts,
+        "pipeline_sink_counts": _pipeline_sink_counts,
+        "pipeline_agg_template_tool": _pipeline_agg_template_tool,
+        "media_features": _media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = {
+    "en": "['the','and','of','to','a','in','is','it','you','that']",
+    "fr": "['le','la','et','de','un','une','est','que','pour','dans']",
+    "es": "['el','la','y','de','un','una','es','que','por','para']",
+    "de": "['der','die','das','und','ist','ein','eine','zu','mit','von']",
+}
+
+
+def _langid_sql_expr() -> str:
+    hits = {
+        lang: f"len(list_intersect(string_split_regex(lower(text), ' +'), {words}))"
+        for lang, words in _STOP_SQL.items()
+    }
+    # mirror functions/text.py lang_id: sorted langs, strict > to win
+    expr = "'und'"
+    best = "0"
+    for lang in sorted(_STOP_SQL):
+        expr = f"CASE WHEN {hits[lang]} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {hits[lang]} > {best} THEN {hits[lang]} ELSE {best} END"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+        """,
+        "q3_top_revenue": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q5_region_supplier_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+            FROM orders ORDER BY price DESC, o_orderkey LIMIT 20
+        """,
+        "customer_order_rank": """
+            SELECT o_custkey, o_orderkey, rnk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk
+              FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "part_type_stats": """
+            SELECT p_type, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price,
+                   min(p_size) AS min_size, max(p_size) AS max_size
+            FROM part GROUP BY p_type ORDER BY p_type
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_pivot_user": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "events_props_json": """
+            SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   count(json_extract_string(props, '$.k')) AS n_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_sessions": """
+            SELECT user_id, 1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+              SELECT user_id,
+                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+              FROM events)
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "events_zscore": """
+            SELECT event_type, count(*) AS n,
+                   sum(CASE WHEN abs((value - mu) / sigma) > 2.0 THEN 1 ELSE 0 END) AS n_anomalies
+            FROM (
+              SELECT event_type, value,
+                     avg(value) OVER (PARTITION BY event_type) AS mu,
+                     stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+              FROM events)
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "time_range_events": "SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events",
+        "docs_search": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE text LIKE '%spark window%' ORDER BY doc_id LIMIT 50
+        """,
+        "docs_dedup_exact": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "docs_token_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_tokens_bpe
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_quality": """
+            SELECT doc_id, round(
+              0.4 * (CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / greatest(length(text), 1))
+              + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / greatest(length(text), 1)),
+              4) AS quality
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_langid": f"""
+            SELECT lang_pred, count(*) AS n FROM (
+              SELECT {_langid_sql_expr()} AS lang_pred FROM documents)
+            GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "emb_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "syslog_roundtrip": """
+            SELECT event_id,
+                   CAST(event_id % 192 AS INT) AS pri,
+                   CAST((event_id % 192) // 8 AS INT) AS facility,
+                   CAST((event_id % 192) % 8 AS INT) AS severity_num,
+                   'host' || CAST(user_id % 16 AS VARCHAR) AS host,
+                   CAST(event_id % 32768 AS INT) AS pid,
+                   'event ' || event_type || ' value ' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS message
+            FROM events ORDER BY event_id
+        """,
+        "logfmt_roundtrip": """
+            SELECT event_id, user_id,
+                   'event ' || event_type AS msg,
+                   CAST(floor(value) AS BIGINT) AS val
+            FROM events ORDER BY event_id
+        """,
+    }

@@ -172,6 +172,24 @@ def gen_role_lookup() -> pd.DataFrame:
 SF_CONVS = {"tiny": 180, "small": 5500, "bench": 55000}
 
 
+def materialize_transcripts(n_conv: int, cache_dir: str = "/tmp/laas_fixtures") -> str:
+    """Write (once) and return the parquet path for an n_conv transcript
+    table. Benchmarks read THIS — a driver-resident createDataFrame would
+    ship rows from the driver per task and anti-scale."""
+    import os
+
+    path = f"{cache_dir}/transcripts_{n_conv}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS) parquet
+        gen_transcripts(n_conv).to_parquet(
+            tmp, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.replace(tmp, path)
+    return path
+
+
 def write_fixture_parquet(out_dir: str, size: str = "small") -> str:
     """Materialize transcripts + lookups as parquet under *out_dir*."""
     import os

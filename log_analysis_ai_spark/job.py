@@ -17,6 +17,7 @@ import dataclasses
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .config import PipelineConfig
 from .hashing import xxh64
@@ -46,17 +47,24 @@ def run_checkpointed(
     # stage 1: parse + mine -> turns_parsed, templates
     if not (resume and store.committed("turns_parsed", fp) and store.committed("templates", fp)):
         parsed = parse(transcripts)
-        assigned, templates = mine(parsed, cfg)
+        assigned, templates, keyed = mine(parsed, cfg)
         store.write_table(assigned, "turns_parsed", fp)
         store.write_table(templates, "templates", fp)
+        keyed.unpersist()
     turns_parsed = store.read_table(spark, "turns_parsed")
     templates = store.read_table(spark, "templates")
 
-    # stage 2: enrich + route -> routed (ONE partitioned fanout write)
+    # stage 2: enrich + route -> routed (ONE partitioned fanout write).
+    # Partition keys are STRING copies (pt_*) of the sink keys: partition
+    # directory values always read back as strings, so partitioning on the
+    # boolean column directly would silently retype it on read.
     if not (resume and store.committed("routed", fp)):
         routed = route(enrich(turns_parsed, tool_lookup, role_lookup), cfg)
-        store.write_table(routed, "routed", fp, partition_by=["template_class", "anomaly_flag"])
-    routed = store.read_table(spark, "routed")
+        routed = routed.withColumn("pt_class", F.col("template_class")).withColumn(
+            "pt_anomaly", F.col("anomaly_flag").cast("string")
+        )
+        store.write_table(routed, "routed", fp, partition_by=["pt_class", "pt_anomaly"])
+    routed = store.read_table(spark, "routed").drop("pt_class", "pt_anomaly")
 
     # stage 3: aggregates
     if not (resume and store.committed("agg_template_tool", fp)):

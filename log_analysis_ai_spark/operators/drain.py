@@ -181,11 +181,11 @@ def assign_templates(
     return df_with_keys.mapInPandas(assign_fn, schema=out_schema)
 
 
-def templates_table(
-    spark: SparkSession, catalogs: dict[str, list[list[str]]], include_empty: bool
-) -> DataFrame:
+def templates_table(spark: SparkSession, catalogs: dict[str, list[list[str]]]) -> DataFrame:
     """Materialize the mined template catalog as a DataFrame
-    (analog of the reference's `log_templates`, python/logai_agent.py:283-319)."""
+    (analog of the reference's `log_templates`, python/logai_agent.py:283-319).
+    The reserved <EMPTY> template is always present (spec: empty turns route
+    to it; keeping it unconditional avoids a full input scan)."""
     rows, seen = [], set()
     for skey in sorted(catalogs):
         for tpl in catalogs[skey]:
@@ -194,21 +194,26 @@ def templates_table(
                 continue
             seen.add(s)
             rows.append((template_id(s), s, len(tpl), xxh64(skey)))
-    if include_empty:
-        rows.append((template_id(dc.EMPTY_TEMPLATE), dc.EMPTY_TEMPLATE, 0, xxh64("0|")))
+    rows.append((template_id(dc.EMPTY_TEMPLATE), dc.EMPTY_TEMPLATE, 0, xxh64("0|")))
     return spark.createDataFrame(
         rows, schema="template_id long, template_str string, token_count int, shard_key long"
     )
 
 
 def mine_and_assign(
-    df: DataFrame, cfg: PipelineConfig | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """End-to-end two-pass Drain: returns (assigned turns, templates table)."""
+    df: DataFrame, cfg: PipelineConfig | None = None, persist: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """End-to-end two-pass Drain.
+
+    Returns (assigned turns, templates table, keyed handle). The keyed
+    DataFrame (input + shard_key/salt) is persisted so pass 1's shuffle and
+    pass 2's re-match share one shard-key computation; the caller unpersists
+    the handle after materializing `assigned` (job.py does)."""
     cfg = cfg or PipelineConfig()
     keyed = with_shard_key(df, cfg)
-    catalogs = mine_catalog(keyed, cfg)
+    if persist:
+        keyed = keyed.persist()
+    catalogs = mine_catalog(keyed, cfg)  # action: populates the cache
     assigned = assign_templates(keyed, catalogs, cfg).drop("salt")
-    has_empty = bool(df.filter(F.col("text") == "").limit(1).count())
-    templates = templates_table(df.sparkSession, catalogs, include_empty=has_empty)
-    return assigned, templates
+    templates = templates_table(df.sparkSession, catalogs)
+    return assigned, templates, keyed

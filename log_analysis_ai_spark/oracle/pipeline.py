@@ -101,8 +101,8 @@ def run_oracle(
                 continue
             seen.add(s)
             rows.append((template_id(s), s, len(tpl), xxh64(sk)))
-    if dc.EMPTY_TEMPLATE in set(tmpl_strs):
-        rows.append((template_id(dc.EMPTY_TEMPLATE), dc.EMPTY_TEMPLATE, 0, xxh64("0|")))
+    # reserved <EMPTY> template is always in the catalog (engine spec)
+    rows.append((template_id(dc.EMPTY_TEMPLATE), dc.EMPTY_TEMPLATE, 0, xxh64("0|")))
     templates = pd.DataFrame(rows, columns=["template_id", "template_str", "token_count", "shard_key"])
 
     # --- enrich (broadcast-join analog) --------------------------------------

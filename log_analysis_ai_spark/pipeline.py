@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .config import DETECTED_TS_RE, LEVEL_RE, PipelineConfig
 from .operators.drain import mine_and_assign
@@ -38,8 +37,9 @@ def parse(df: DataFrame) -> DataFrame:
     )
 
 
-def mine(df: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
-    """Two-pass Drain (operators/drain.py): (turns+template cols, templates)."""
+def mine(df: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Two-pass Drain (operators/drain.py):
+    (turns+template cols, templates, cached keyed handle)."""
     return mine_and_assign(df, cfg)
 
 
@@ -53,17 +53,22 @@ def enrich(df: DataFrame, tool_lookup: DataFrame, role_lookup: DataFrame) -> Dat
 def route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Frequency-based rarity scoring over event-time windows + sink keys.
 
-    window counts via a window-function over (window_start, template_id)
-    (one shuffle); global template counts via a second window over
-    template_id. anomaly_flag = window count below threshold; template_class
-    from param-count + global frequency (FIXTURES.md §4 sink key space)."""
+    Counts are computed as partial-aggregated groupBys and joined back —
+    NOT window functions: `Window.partitionBy(template_id)` would funnel
+    every row of a hot template through one task at 10^12 rows, while the
+    count tables here are bounded by (#windows × #templates) ≪ rows, so AQE
+    turns both joins into broadcasts. anomaly_flag = window count below
+    threshold; template_class from param-count + global frequency
+    (FIXTURES.md §4 sink key space)."""
     df = df.withColumn("window_start", F.date_trunc("hour", F.col("ts")))
-    w_win = Window.partitionBy("window_start", "template_id")
-    w_tpl = Window.partitionBy("template_id")
+    window_counts = df.groupBy("window_start", "template_id").agg(
+        F.count(F.lit(1)).alias("window_count")
+    )
+    global_counts = df.groupBy("template_id").agg(F.count(F.lit(1)).alias("global_count"))
     n_params = F.size(F.split(F.col("template_str"), r"<\*>")) - F.lit(1)
     return (
-        df.withColumn("window_count", F.count(F.lit(1)).over(w_win))
-        .withColumn("global_count", F.count(F.lit(1)).over(w_tpl))
+        df.join(window_counts, ["window_start", "template_id"])
+        .join(global_counts, ["template_id"])
         .withColumn("rarity_score", F.lit(1.0) / F.col("window_count"))
         .withColumn("anomaly_flag", F.col("window_count") < F.lit(cfg.anomaly_min_count))
         .withColumn(
@@ -99,7 +104,7 @@ def run_pipeline(
     besides pass-1 mining's catalog collect)."""
     cfg = cfg or PipelineConfig()
     parsed = parse(transcripts)
-    assigned, templates = mine(parsed, cfg)
+    assigned, templates, _keyed = mine(parsed, cfg)
     enriched = enrich(assigned, tool_lookup, role_lookup)
     routed = route(enriched, cfg)
     return {

@@ -1,0 +1,108 @@
+"""Scaling-efficiency evidence (BASELINE.md): run the IDENTICAL end-to-end
+pipeline job at two parallelism levels (default local[8] vs local[32] — the
+sandbox stand-in for N vs 4N executors), report throughput at both plus
+efficiency = (T_hi / T_lo) / (hi/lo), and verify the two runs produce
+IDENTICAL sink counts (the count-equality-across-parallelism criterion).
+
+Each level runs in its own subprocess (fresh JVM — no warm-cache bleed).
+
+Usage: python tools/scaling_bench.py [--convs 55000] [--lo 8] [--hi 32]
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+CHILD = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from log_analysis_ai_spark.session import get_spark
+from log_analysis_ai_spark.config import PipelineConfig
+from log_analysis_ai_spark.fixtures import materialize_transcripts, gen_tool_lookup, gen_role_lookup
+from log_analysis_ai_spark.job import run_checkpointed
+from log_analysis_ai_spark.lineage import SinkStore
+
+cpus = {cpus}
+spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=2*cpus)
+t = spark.read.parquet(materialize_transcripts({convs}))
+n = t.count()
+wh = tempfile.mkdtemp(prefix=f"scal{{cpus}}_")
+t0 = time.time()
+out = run_checkpointed(spark, t, spark.createDataFrame(gen_tool_lookup()),
+                       spark.createDataFrame(gen_role_lookup()), SinkStore(wh),
+                       PipelineConfig(), resume=False, input_desc="scaling")
+wall = time.time() - t0
+sinks = sorted((str(r.template_class), str(r.anomaly_flag), int(r.n)) for r in out["sink_counts"].collect())
+shutil.rmtree(wh, ignore_errors=True)
+print("RESULT " + json.dumps({{"cpus": cpus, "turns": n, "wall_s": round(wall, 2),
+                               "turns_per_sec": round(n / wall, 1), "sinks": sinks}}))
+"""
+
+
+def run_level(repo: str, cpus: int, convs: int) -> dict:
+    code = CHILD.format(repo=repo, cpus=cpus, convs=convs)
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600,
+        cwd=repo,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child (local[{cpus}]) failed:\n{p.stdout[-2000:]}\n{p.stderr[-4000:]}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=55000)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    lo = run_level(repo, args.lo, args.convs)
+    hi = run_level(repo, args.hi, args.convs)
+    ratio = args.hi / args.lo
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
+    counts_equal = lo["sinks"] == hi["sinks"]
+    result = {
+        "metric": "e2e pipeline scaling efficiency",
+        "lo": lo, "hi": hi,
+        "efficiency": round(eff, 3),
+        "sink_counts_equal": counts_equal,
+    }
+    os.makedirs(f"{repo}/BENCH", exist_ok=True)
+    with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling evidence
+
+End-to-end pipeline (parse → two-pass Drain mine → enrich → route-fanout →
+aggregate, all stages checkpointed to parquet) on the deterministic synthetic
+transcript table, identical job at two parallelism levels (sandbox stand-in
+for N vs 4N executors; fresh JVM per level).
+
+| parallelism | turns | wall (s) | turns/sec |
+|---|---|---|---|
+| local[{args.lo}] | {lo['turns']} | {lo['wall_s']} | {lo['turns_per_sec']} |
+| local[{args.hi}] | {hi['turns']} | {hi['wall_s']} | {hi['turns_per_sec']} |
+
+**Scaling efficiency ( (T_{args.hi}/T_{args.lo}) / {ratio:.0f} ): {eff:.3f}**
+(target >= 0.8 per BASELINE.json; note local-mode levels share one JVM's
+memory bandwidth and disk, so this under-reports true multi-node scaling)
+
+**Per-sink count equality across parallelism levels: {counts_equal}**
+
+Sink counts (template_class, anomaly_flag, n): `{lo['sinks']}`
+"""
+        )
+    print(json.dumps(result))
+    return 0 if counts_equal else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
