@@ -106,11 +106,18 @@ def _render(fmt: str, a: int, b: int, c: int) -> str:
 
 
 def gen_transcripts(n_conv: int) -> pd.DataFrame:
-    """Generate the transcripts table for *n_conv* conversations.
+    """Generate the transcripts table for conversations [0, n_conv).
 
     Schema (BASELINE.json input_hint): conv_id string, turn_idx int32,
     role string, text string, tool string, ts timestamp (UTC)."""
-    conv_ids = [f"conv-{i:08d}" for i in range(n_conv)]
+    return gen_transcripts_range(0, n_conv)
+
+
+def gen_transcripts_range(start: int, end: int) -> pd.DataFrame:
+    """Rows for conversations [start, end) — content-addressed per
+    (conv_id, turn_idx), so any slice equals the same slice of a full run."""
+    n_conv = end - start
+    conv_ids = [f"conv-{i:08d}" for i in range(start, end)]
     seeds = np.array([xxh64(c) & _M64 for c in conv_ids], dtype=np.uint64)
     ks = (2 + seeds % 19).astype(np.int64)  # turns per conv in [2, 20]
     total = int(ks.sum())
@@ -175,17 +182,26 @@ SF_CONVS = {"tiny": 180, "small": 5500, "bench": 55000}
 def materialize_transcripts(n_conv: int, cache_dir: str = "/tmp/laas_fixtures") -> str:
     """Write (once) and return the parquet path for an n_conv transcript
     table. Benchmarks read THIS — a driver-resident createDataFrame would
-    ship rows from the driver per task and anti-scale."""
+    ship rows from the driver per task and anti-scale.
+
+    Generation is chunked (content-addressed per conversation, so chunks
+    are independent) and lands as a directory of parquet files."""
     import os
 
     path = f"{cache_dir}/transcripts_{n_conv}.parquet"
     if not os.path.exists(path):
         os.makedirs(cache_dir, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
-        # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS) parquet
-        gen_transcripts(n_conv).to_parquet(
-            tmp, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
-        )
+        os.makedirs(tmp, exist_ok=True)
+        chunk = 500_000
+        for j, start in enumerate(range(0, n_conv, chunk)):
+            n = min(chunk, n_conv - start)
+            pdf = gen_transcripts_range(start, start + n)
+            # microsecond timestamps: Spark cannot read TIMESTAMP(NANOS)
+            pdf.to_parquet(
+                f"{tmp}/part-{j:04d}.parquet", index=False,
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
         os.replace(tmp, path)
     return path
 

@@ -89,27 +89,42 @@ def with_shard_key(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list[list[str]]]:
     """Pass 1: mine per salted sub-shard, merge per logical shard.
 
+    Physical shape: `repartition(shard_key, salt).mapInPandas`, NOT
+    groupBy().applyInPandas — shards are numerous and tiny (one per masked
+    prefix), and grouped-map pays one Arrow exchange per GROUP, which
+    dominated pass 1 (~40k groups at 6M rows). Hash co-location gives every
+    (shard, salt) to exactly one partition; a pandas groupby inside the
+    partition runs the sequential miner per sub-shard in canonical
+    (conv_id, turn_idx) order. Preprocess vectorizes once per partition.
+
     Returns {shard_key_str: [template token list, ...]} (creation order)."""
     sim = cfg.sim_threshold
 
-    def mine_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def mine_parts(batches) -> "pd.DataFrame":
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        lines = preprocess_series(pdf["text"].astype(str)).tolist()
-        cat = dc.mine_shard(lines, sim)
-        return pd.DataFrame(
-            {
-                "shard_key": pdf["shard_key"].iloc[0],
-                "salt": int(pdf["salt"].iloc[0]),
-                "pos": range(len(cat)),
-                "template": [" ".join(t) for t in cat],
-            }
+        pdf["_pre"] = preprocess_series(pdf["text"].astype(str))
+        out_sk, out_salt, out_pos, out_tpl = [], [], [], []
+        for (sk, salt), g in pdf.groupby(["shard_key", "salt"], sort=False):
+            cat = dc.mine_shard(g["_pre"].tolist(), sim)
+            out_sk.extend([sk] * len(cat))
+            out_salt.extend([int(salt)] * len(cat))
+            out_pos.extend(range(len(cat)))
+            out_tpl.extend(" ".join(t) for t in cat)
+        yield pd.DataFrame(
+            {"shard_key": out_sk, "salt": out_salt, "pos": out_pos, "template": out_tpl}
         )
 
+    spark = df_with_keys.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     mined = (
         df_with_keys.filter(F.col("text") != "")
         .select("conv_id", "turn_idx", "text", "shard_key", "salt")
-        .groupBy("shard_key", "salt")
-        .applyInPandas(mine_fn, schema="shard_key string, salt int, pos int, template string")
+        .repartition(n_parts, "shard_key", "salt")
+        .mapInPandas(mine_parts, schema="shard_key string, salt int, pos int, template string")
         .collect()  # catalog rows only — small by construction
     )
     per_shard: dict[str, list[tuple[int, int, str]]] = {}
@@ -195,8 +210,12 @@ def templates_table(spark: SparkSession, catalogs: dict[str, list[list[str]]]) -
             seen.add(s)
             rows.append((template_id(s), s, len(tpl), xxh64(skey)))
     rows.append((template_id(dc.EMPTY_TEMPLATE), dc.EMPTY_TEMPLATE, 0, xxh64("0|")))
+    # via pandas/Arrow: py4j row-by-row serialization of a 10^4-template
+    # catalog costs seconds; Arrow ships it in one batch
+    pdf = pd.DataFrame(rows, columns=["template_id", "template_str", "token_count", "shard_key"])
+    pdf = pdf.astype({"template_id": "int64", "token_count": "int32", "shard_key": "int64"})
     return spark.createDataFrame(
-        rows, schema="template_id long, template_str string, token_count int, shard_key long"
+        pdf, schema="template_id long, template_str string, token_count int, shard_key long"
     )
 
 

@@ -53,13 +53,14 @@ def enrich(df: DataFrame, tool_lookup: DataFrame, role_lookup: DataFrame) -> Dat
 def route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Frequency-based rarity scoring over event-time windows + sink keys.
 
-    Counts are computed as partial-aggregated groupBys and joined back —
-    NOT window functions: `Window.partitionBy(template_id)` would funnel
-    every row of a hot template through one task at 10^12 rows, while the
-    count tables here are bounded by (#windows × #templates) ≪ rows, so AQE
-    turns both joins into broadcasts. anomaly_flag = window count below
-    threshold; template_class from param-count + global frequency
-    (FIXTURES.md §4 sink key space)."""
+    Counts are computed as partial-aggregated groupBys and broadcast-joined
+    back — NOT window functions: `Window.partitionBy(template_id)` would
+    funnel every row of a hot template through one task at 10^12 rows, and
+    a shuffle join would move the wide fact twice. The count tables are
+    bounded by (#windows × #templates) ≪ rows — catalog-sized, so the
+    explicit broadcast hint keeps the fact table unshuffled end-to-end.
+    anomaly_flag = window count below threshold; template_class from
+    param-count + global frequency (FIXTURES.md §4 sink key space)."""
     df = df.withColumn("window_start", F.date_trunc("hour", F.col("ts")))
     window_counts = df.groupBy("window_start", "template_id").agg(
         F.count(F.lit(1)).alias("window_count")
@@ -67,8 +68,8 @@ def route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     global_counts = df.groupBy("template_id").agg(F.count(F.lit(1)).alias("global_count"))
     n_params = F.size(F.split(F.col("template_str"), r"<\*>")) - F.lit(1)
     return (
-        df.join(window_counts, ["window_start", "template_id"])
-        .join(global_counts, ["template_id"])
+        df.join(F.broadcast(window_counts), ["window_start", "template_id"])
+        .join(F.broadcast(global_counts), ["template_id"])
         .withColumn("rarity_score", F.lit(1.0) / F.col("window_count"))
         .withColumn("anomaly_flag", F.col("window_count") < F.lit(cfg.anomaly_min_count))
         .withColumn(

@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # fanout writes: concurrent per-partition writers instead of a
+        # per-task sort by partition key (sink fanout is ~6 dirs; the sort
+        # of wide rows tripled the routed-stage wall time)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "16")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -272,3 +272,45 @@ def multi_file_merge(spark: SparkSession, paths: list[str], fmt: str = "jsonl", 
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out.orderBy(ts_col)
+
+
+def reassemble_logical_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Logical-line reassembly (reference: readLogicalLine,
+    src/file_data_loader.cpp:219-274): a line that starts with indentation,
+    or follows a line ending in a backslash, continues the previous logical
+    line. Continuations are joined with a single space; the trailing
+    backslash is dropped; continuation indent is stripped.
+
+    Ordering contract: line order is taken from monotonically_increasing_id
+    within a file's read order, which holds while a file maps to one input
+    split — set spark.sql.files.maxPartitionBytes >= the largest
+    continuation-bearing file (indent-continuation formats are small config/
+    trace files in practice; row-per-record formats never need this op)."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.text(path).select(
+        F.input_file_name().alias("file"),
+        F.monotonically_increasing_id().alias("idx"),
+        "value",
+    )
+    w = Window.partitionBy("file").orderBy("idx")
+    prev = F.lag("value").over(w)
+    is_cont = (
+        F.col("value").rlike(r"^[ \t]") | F.coalesce(prev.rlike(r"\\$"), F.lit(False))
+    )
+    starts = F.when(is_cont, 0).otherwise(1)
+    df = df.withColumn("_grp", F.sum(starts).over(w))
+    cleaned = F.regexp_replace(F.regexp_replace("value", r"[ \t]*\\$", ""), r"^[ \t]+", "")
+    # collect_list gives no order guarantee -> collect (idx, text) structs,
+    # sort within the array, then join
+    parts = F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("_clean"))))
+    return (
+        df.withColumn("_clean", cleaned)
+        .groupBy("file", "_grp")
+        .agg(
+            F.min("idx").alias("idx"),
+            F.concat_ws(" ", F.transform(parts, lambda s: s._clean)).alias("value"),
+        )
+        .orderBy("file", "idx")
+        .select("file", "value")
+    )

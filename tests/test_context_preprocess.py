@@ -1,0 +1,111 @@
+"""Event-context joins, preprocessor scalars, logical-line reassembly,
+compressed + multi-file reading."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_ai_spark.functions.preprocess import (
+    clean_text,
+    collapse_whitespace,
+    custom_replace,
+    delimiters_to_space,
+)
+from log_analysis_ai_spark.operators.context import causal_window, event_context
+from log_analysis_ai_spark.sources import multi_file_merge
+from log_analysis_ai_spark.sources.readers import reassemble_logical_lines
+
+
+def test_event_context_range_join(spark):
+    rows = [
+        (1, "ok", "2025-01-01 10:00:00"),
+        (2, "error", "2025-01-01 10:05:00"),
+        (3, "ok", "2025-01-01 10:07:00"),
+        (4, "ok", "2025-01-01 10:20:00"),
+        (5, "error", "2025-01-01 10:21:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, kind string, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    ctx = event_context(df, F.col("kind") == "error", window_s=300)
+    got = {(r.anchor_event_id, r.event_id) for r in ctx.collect()}
+    # anchor 2 (10:05): rows within ±5min -> 1,2,3; anchor 5 (10:21): 4,5
+    assert got == {(2, 1), (2, 2), (2, 3), (5, 4), (5, 5)}
+
+
+def test_event_context_on_events_table(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ctx = event_context(ev, F.col("event_type") == "error", window_s=600)
+    n_anchors = ev.filter(F.col("event_type") == "error").count()
+    assert ctx.count() >= n_anchors  # every anchor sees at least itself
+    # each (anchor,row) pair is within the window
+    bad = ctx.filter(
+        F.abs(F.unix_timestamp("ts") - F.unix_timestamp("anchor_ts")) > 600
+    ).count()
+    assert bad == 0
+
+
+def test_causal_window(spark):
+    rows = [(i, "x" if i == 7 else "y", f"2025-01-01 10:{i:02d}:00") for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, kind string, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    got = sorted(r.event_id for r in causal_window(df, F.col("kind") == "x", window_s=180).collect())
+    assert got == [4, 5, 6, 7]  # [10:07 - 3min, 10:07]
+
+
+def test_delimiters_and_collapse(spark):
+    df = spark.createDataFrame([("a,b;c|d[e]{f}(g)<h>  i",)], "s string")
+    got = df.select(clean_text("s").alias("c")).first().c
+    assert got == "a b c d e f g h i"
+    assert df.select(collapse_whitespace(F.lit("  x   y ")).alias("c")).first().c == "x y"
+    assert df.select(delimiters_to_space(F.lit("a\tb")).alias("c")).first().c == "a b"
+
+
+def test_custom_replace_with_capture(spark):
+    df = spark.createDataFrame([("ip=10.0.0.1 user=jane",)], "s string")
+    out = custom_replace(
+        df, "s", [(r"\d+\.\d+\.\d+\.\d+", "<IP>"), (r"user=\w+", "user=<U>")], capture_as="terms"
+    ).first()
+    assert out.s == "ip=<IP> user=<U>"
+    assert out.terms == ["10.0.0.1", "user=jane"]
+
+
+def test_reassemble_logical_lines(spark, tmp_path):
+    p = tmp_path / "cont.log"
+    p.write_text(
+        "first line \\\ncontinued here\nsecond line\n  indented continuation\nthird\n"
+    )
+    rows = reassemble_logical_lines(spark, str(p)).collect()
+    assert [r.value for r in rows] == [
+        "first line continued here",
+        "second line indented continuation",
+        "third",
+    ]
+
+
+def test_gzip_source(spark, tmp_path):
+    p = tmp_path / "logs.jsonl.gz"
+    recs = [{"timestamp": "2025-03-01T10:00:00", "level": "INFO", "message": f"m{i}"} for i in range(5)]
+    with gzip.open(p, "wt") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    from log_analysis_ai_spark.sources import parse_jsonl, read_lines
+
+    df = parse_jsonl(read_lines(spark, str(p)))
+    assert df.count() == 5 and df.filter("_valid").count() == 5
+
+
+def test_multi_file_merge_ordered(spark, tmp_path):
+    for i, hours in enumerate([(10, 12), (11, 13)]):
+        with open(tmp_path / f"f{i}.jsonl", "w") as f:
+            for h in hours:
+                f.write(json.dumps({"timestamp": f"2025-03-01T{h}:00:00", "level": "INFO", "message": f"h{h}"}) + "\n")
+    merged = multi_file_merge(spark, [str(tmp_path / "f0.jsonl"), str(tmp_path / "f1.jsonl")])
+    msgs = [r.message for r in merged.collect()]
+    assert msgs == ["h10", "h11", "h12", "h13"]  # k-way timestamp order

@@ -47,10 +47,12 @@ print("RESULT " + json.dumps({{"cpus": cpus, "turns": n, "wall_s": round(wall, 2
 
 def run_level(repo: str, cpus: int, convs: int) -> dict:
     code = CHILD.format(repo=repo, cpus=cpus, convs=convs)
-    p = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600,
-        cwd=repo,
-    )
+    # taskset: confine the whole process tree (JVM + python UDF workers +
+    # GC/shuffle threads) to `cpus` physical cores — local[N] alone only
+    # caps JVM task slots, so python workers would leak onto all cores and
+    # fake the low-parallelism measurement.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=repo)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
