@@ -333,6 +333,25 @@ def _logfmt_roundtrip(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def _events_error_context(spark, sf_dir):
+    """±5min context rows around every error event (bucketed range join)."""
+    from log_analysis_ai_spark.operators.context import event_context
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    ctx = event_context(ev, F.col("event_type") == "error", window_s=300)
+    return ctx.select("anchor_event_id", "event_id").orderBy("anchor_event_id", "event_id")
+
+
+def _events_causal_window(spark, sf_dir):
+    """Rows in the hour before the last error (causal slice)."""
+    from log_analysis_ai_spark.operators.context import causal_window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    return causal_window(ev, F.col("event_type") == "error", window_s=3600).select(
+        "event_id", "event_type"
+    ).orderBy("event_id")
+
+
 # ---- rows-only (non-SQL-expressible: LSH/mining/ANN/multimodal) -----------
 
 def _docs_minhash_near_dups(spark, sf_dir):
@@ -424,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": _emb_topk,
         "syslog_roundtrip": _syslog_roundtrip,
         "logfmt_roundtrip": _logfmt_roundtrip,
+        "events_error_context": _events_error_context,
+        "events_causal_window": _events_causal_window,
         # rows-only (no SQL oracle):
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
@@ -599,5 +620,18 @@ def oracle_sql() -> dict[str, str]:
                    'event ' || event_type AS msg,
                    CAST(floor(value) AS BIGINT) AS val
             FROM events ORDER BY event_id
+        """,
+        "events_error_context": """
+            SELECT a.event_id AS anchor_event_id, e.event_id
+            FROM events e
+            JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') a
+              ON e.ts BETWEEN a.ts - INTERVAL 300 SECOND AND a.ts + INTERVAL 300 SECOND
+            ORDER BY anchor_event_id, e.event_id
+        """,
+        "events_causal_window": """
+            SELECT event_id, event_type FROM events
+            WHERE ts >= (SELECT max(ts) FROM events WHERE event_type = 'error') - INTERVAL 3600 SECOND
+              AND ts <= (SELECT max(ts) FROM events WHERE event_type = 'error')
+            ORDER BY event_id
         """,
     }

@@ -32,9 +32,16 @@ def event_context(
     each anchor probes its own bucket and both neighbors — then exact range
     refine. Shuffle is hash on bucket, never a broadcast nested loop over
     the full fact table."""
-    w = F.lit(window_s)
-    bucket = (F.unix_timestamp(F.col(ts_col)) / window_s).cast("long")
-    bucket_a = (F.unix_timestamp(F.col("anchor_ts")) / window_s).cast("long")
+    w = F.expr(f"INTERVAL {window_s} SECONDS")
+    # bucket from full-precision epoch: with truncated seconds a pair at
+    # exactly window distance can straddle TWO bucket boundaries and miss
+    # the ±1 probe
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / (window_s * 1_000_000)
+    ).cast("long")  # NTZ->LTZ cast: session tz is UTC, value-preserving
+    bucket_a = F.floor(
+        F.unix_micros(F.col("anchor_ts").cast("timestamp")) / (window_s * 1_000_000)
+    ).cast("long")
     anchors = (
         df.filter(anchor_pred)
         .select(
@@ -44,9 +51,10 @@ def event_context(
         .withColumn("_b", F.explode(F.array(bucket_a, bucket_a - 1, bucket_a + 1)))
     )
     fact = df.withColumn("_b", bucket)
+    # refine on full-precision timestamps (unix_timestamp truncates to
+    # seconds and admits rows just outside the window)
     joined = fact.join(anchors, "_b").filter(
-        (F.unix_timestamp(F.col(ts_col)) >= F.unix_timestamp("anchor_ts") - w)
-        & (F.unix_timestamp(F.col(ts_col)) <= F.unix_timestamp("anchor_ts") + w)
+        (F.col(ts_col) >= F.col("anchor_ts") - w) & (F.col(ts_col) <= F.col("anchor_ts") + w)
     )
     return joined.drop("_b").dropDuplicates(
         [f"anchor_{c}" for c in anchor_cols] + list(df.columns)
