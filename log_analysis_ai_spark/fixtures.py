@@ -193,7 +193,9 @@ def materialize_transcripts(n_conv: int, cache_dir: str = "/tmp/laas_fixtures") 
         os.makedirs(cache_dir, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
-        chunk = 500_000
+        # ~100k convs (~1.1M turns, ~25MB) per file: enough input splits
+        # that the scan stage parallelizes at every bench level
+        chunk = 100_000
         for j, start in enumerate(range(0, n_conv, chunk)):
             n = min(chunk, n_conv - start)
             pdf = gen_transcripts_range(start, start + n)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,7 +48,16 @@ def run_checkpointed(
     # stage 1: parse + mine -> turns_parsed, templates
     if not (resume and store.committed("turns_parsed", fp) and store.committed("templates", fp)):
         parsed = parse(transcripts)
+        t0 = time.time()
         assigned, templates, keyed = mine(parsed, cfg)
+        store.record(
+            {
+                "stage": "mine_catalog", "fingerprint": fp, "run_id": "-",
+                "rows": templates.count(), "partitions": {},
+                "wall_s": round(time.time() - t0, 3), "status": "computed",
+                "ts": time.time(),
+            }
+        )
         store.write_table(assigned, "turns_parsed", fp)
         store.write_table(templates, "templates", fp)
         keyed.unpersist()
