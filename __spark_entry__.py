@@ -333,6 +333,64 @@ def _logfmt_roundtrip(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def _orders_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def _cef_roundtrip(spark, sf_dir):
+    from log_analysis_ai_spark.sources import parse_cef
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            "CEF:0|Acme|Tracker|1.0|%d|%s event|%d|src=10.0.0.%d uid=%d",
+            F.pmod("event_id", F.lit(1000)).cast("int"),
+            "event_type",
+            F.pmod("event_id", F.lit(10)).cast("int"),
+            F.pmod("user_id", F.lit(250)).cast("int"),
+            "user_id",
+        ).alias("value"),
+    )
+    p = parse_cef(lines)
+    return p.select(
+        "event_id",
+        "vendor",
+        "signature_id",
+        "name",
+        "severity",
+        F.element_at("extension", "src").alias("src"),
+        F.element_at("extension", "uid").cast("long").alias("uid"),
+    ).orderBy("event_id")
+
+
+def _log4j_roundtrip(spark, sf_dir):
+    from log_analysis_ai_spark.sources import parse_log4j
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            "2025-03-01 10:00:00,123 WARN [worker-%d] com.acme.Handler: processed %s id %d",
+            F.pmod("event_id", F.lit(8)).cast("int"),
+            "event_type",
+            "event_id",
+        ).alias("value"),
+    )
+    return (
+        parse_log4j(lines)
+        .select("event_id", "level", "thread", "logger", "message")
+        .orderBy("event_id")
+    )
+
+
 def _events_error_context(spark, sf_dir):
     """±5min context rows around every error event (bucketed range join)."""
     from log_analysis_ai_spark.operators.context import event_context
@@ -445,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logfmt_roundtrip": _logfmt_roundtrip,
         "events_error_context": _events_error_context,
         "events_causal_window": _events_causal_window,
+        "orders_cube": _orders_cube,
+        "cef_roundtrip": _cef_roundtrip,
+        "log4j_roundtrip": _log4j_roundtrip,
         # rows-only (no SQL oracle):
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
@@ -633,5 +694,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= (SELECT max(ts) FROM events WHERE event_type = 'error') - INTERVAL 3600 SECOND
               AND ts <= (SELECT max(ts) FROM events WHERE event_type = 'error')
             ORDER BY event_id
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "cef_roundtrip": """
+            SELECT event_id, 'Acme' AS vendor,
+                   CAST(event_id % 1000 AS VARCHAR) AS signature_id,
+                   event_type || ' event' AS name,
+                   CAST(event_id % 10 AS VARCHAR) AS severity,
+                   '10.0.0.' || CAST(user_id % 250 AS VARCHAR) AS src,
+                   user_id AS uid
+            FROM events ORDER BY event_id
+        """,
+        "log4j_roundtrip": """
+            SELECT event_id, 'WARN' AS level,
+                   'worker-' || CAST(event_id % 8 AS VARCHAR) AS thread,
+                   'com.acme.Handler' AS logger,
+                   'processed ' || event_type || ' id ' || CAST(event_id AS VARCHAR) AS message
+            FROM events ORDER BY event_id
         """,
     }
