@@ -129,18 +129,22 @@ def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list
         .select("conv_id", "turn_idx", "text", "shard_key", "salt")
         .repartition(n_parts, "shard_key", "salt")
         .mapInPandas(mine_parts, schema="shard_key string, salt int, pos int, template string")
-        .collect()  # catalog rows only — small by construction
+        # cross-salt dedup BEFORE the driver collect: identical masked forms
+        # from different sub-shards collapse to their earliest (salt, pos) —
+        # same first-appearance order as a driver-side merge, but the
+        # collect ships one row per distinct template instead of per
+        # sub-shard occurrence
+        .groupBy("shard_key", "template")
+        .agg(F.min(F.struct("salt", "pos")).alias("first"))
+        .collect()
     )
     per_shard: dict[str, list[tuple[int, int, str]]] = {}
     for r in mined:
-        per_shard.setdefault(r.shard_key, []).append((r.salt, r.pos, r.template))
-    catalogs: dict[str, list[list[str]]] = {}
-    for skey, rows in per_shard.items():
-        seen: dict[str, list[str]] = {}
-        for _, _, tpl in sorted(rows):  # salt order, then creation order
-            seen.setdefault(tpl, tpl.split(" "))
-        catalogs[skey] = list(seen.values())
-    return catalogs
+        per_shard.setdefault(r.shard_key, []).append((r.first.salt, r.first.pos, r.template))
+    return {
+        skey: [tpl.split(" ") for _, _, tpl in sorted(rows)]
+        for skey, rows in per_shard.items()
+    }
 
 
 def assign_templates(
