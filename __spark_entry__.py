@@ -472,9 +472,17 @@ def _pipeline_agg_template_tool(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
+    """Exploded to (media_id, kind, dim, value) scalar rows — the driver's
+    canonicalizer sorts/hashes rows and cannot handle array cells
+    (VERDICT r1, item 2: unhashable-list gate error)."""
     from log_analysis_ai_spark.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 48)).orderBy("media_id")
+    feats = extract_features(synth_media(spark, 48))
+    return (
+        feats.select("media_id", "kind", F.posexplode("feature").alias("dim", "v"))
+        .select("media_id", "kind", "dim", F.round(F.col("v").cast("double"), 6).alias("value"))
+        .orderBy("media_id", "dim")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -594,32 +602,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        # NOTE on CASTs: DuckDB sum(INTEGER) returns HUGEINT (lands in pandas
+        # as float64) while Spark sum(int) is bigint — identical values, a
+        # different hashed representation. Every integer sum below is CAST to
+        # BIGINT so both engines present int64 (VERDICT r1, item 1).
         "events_pivot_user": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "events_props_json": """
-            SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    count(json_extract_string(props, '$.k')) AS n_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_sessions": """
-            SELECT user_id, 1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+            SELECT user_id,
+                   CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (
               SELECT user_id,
-                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                     CAST(epoch(ts) AS BIGINT)
+                       - CAST(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap
               FROM events)
             GROUP BY user_id ORDER BY user_id
         """,
         "events_zscore": """
             SELECT event_type, count(*) AS n,
-                   sum(CASE WHEN abs((value - mu) / sigma) > 2.0 THEN 1 ELSE 0 END) AS n_anomalies
+                   CAST(sum(CASE WHEN abs((value - mu) / sigma) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
             FROM (
               SELECT event_type, value,
                      avg(value) OVER (PARTITION BY event_type) AS mu,

@@ -66,6 +66,24 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
         assert "BatchEvalPython" not in _plan(out[name])
 
 
+def test_zscore_group_stats_broadcast_no_window(spark):
+    """zscore_by_group must be agg + broadcast-join back, never a window over
+    the (low-cardinality) group key — a window funnels the whole fact table
+    through #groups tasks at scale (VERDICT r1, item 3)."""
+    plan = _plan(entry.queries()["events_zscore"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_media_features_rows_are_scalar(spark):
+    """The driver canonicalizer hashes cell values — no array cells allowed."""
+    df = entry.queries()["media_features"](spark, SF)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "int", "double",
+    ]
+    assert df.count() == 48 * 16  # one row per (media, dim)
+
+
 def test_scan_prunes_columns(spark):
     """A 2-column projection must not read the full lineitem schema."""
     df = entry.queries()["top_orders"](spark, SF)
