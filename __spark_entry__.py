@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
             "INFO: event %s by user %d value %d", "event_type", "user_id", F.floor("value").cast("long")
         ).alias("text"),
     )
-    assigned, _, _ = mine_and_assign(lines, PipelineConfig(salt_buckets=2))
+    assigned, _, _ = mine_and_assign(lines, PipelineConfig(salt_buckets=2), persist=False)
     return Q.template_frequency(assigned)
 
 
@@ -439,7 +439,7 @@ def _pipeline_template_counts(spark, sf_dir):
     from log_analysis_ai_spark.queries import template_frequency
 
     t = spark.createDataFrame(gen_transcripts(_fixture_convs(sf_dir)))
-    assigned, _, _ = mine_and_assign(t, PipelineConfig())
+    assigned, _, _ = mine_and_assign(t, PipelineConfig(), persist=False)
     return template_frequency(assigned)
 
 
@@ -453,6 +453,7 @@ def _pipeline_sink_counts(spark, sf_dir):
         spark.createDataFrame(gen_tool_lookup()),
         spark.createDataFrame(gen_role_lookup()),
         PipelineConfig(),
+        persist_keyed=False,  # one-shot query in a long-lived session: no cache leak
     )
     return out["sink_counts"].orderBy("template_class", "anomaly_flag")
 
@@ -467,6 +468,7 @@ def _pipeline_agg_template_tool(spark, sf_dir):
         spark.createDataFrame(gen_tool_lookup()),
         spark.createDataFrame(gen_role_lookup()),
         PipelineConfig(),
+        persist_keyed=False,  # one-shot query in a long-lived session: no cache leak
     )
     return out["agg_template_tool"].orderBy("window_start", "template_id", "tool")
 

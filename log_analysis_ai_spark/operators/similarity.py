@@ -59,8 +59,13 @@ def cosine_topk_numpy(
             m = np.stack(pdf[vec_col].to_numpy())
             norms = np.linalg.norm(m, axis=1) * qn
             cos = (m @ qv) / np.where(norms == 0, 1.0, norms)
-            top = np.argsort(-cos)[:k]  # partition-local prune
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[top], "cosine": cos[top].astype("float64")})
+            ids = pdf[id_col].to_numpy()
+            # partition-local prune with the FULL global tie-break
+            # (cosine desc, id asc) — ranking by cosine alone could drop a
+            # smaller-id row that ties an equal-cosine survivor elsewhere,
+            # making the top-k set parallelism-dependent
+            top = np.lexsort((ids, -cos))[:k]
+            yield pd.DataFrame({id_col: ids[top], "cosine": cos[top].astype("float64")})
 
     scored = df.select(id_col, vec_col).mapInPandas(score, schema=f"{id_col} long, cosine double")
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
@@ -113,11 +118,15 @@ def near_dup_embeddings(
     id_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-bucket join, exact
-    cosine verification inside buckets (id_a < id_b)."""
+    cosine verification inside buckets (id_a < id_b). Pass `dim` to avoid
+    the driver-side probe job that otherwise infers it from the first row."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
-        "_bucket", lsh_bucket_udf(len(df.select(vec_col).first()[0]), n_planes, seed)(F.col("_v"))
+        "_bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col("_v"))
     )
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(

@@ -80,6 +80,15 @@ def run_oracle(
         toks = dc.tokenize(dc.preprocess(t))
         cat = catalogs[sk]
         idx, _ = dc.assign_line(toks, cat, cfg.sim_threshold)
+        if idx < 0:
+            # the mining invariant guarantees every non-empty line reaches
+            # sim 1.0 vs its final template; a negative index here means the
+            # engine/oracle preprocess drifted — fail loudly, never fall
+            # through to cat[-1] (a silently wrong golden value)
+            raise AssertionError(
+                f"oracle mining invariant violated: no template matched "
+                f"line {t!r} in shard {sk!r} (catalog size {len(cat)})"
+            )
         tpl = cat[idx]
         tmpl_strs.append(" ".join(tpl))
         params_list.append(dc.extract_params(toks, tpl))

@@ -100,18 +100,30 @@ def run_pipeline(
     tool_lookup: DataFrame,
     role_lookup: DataFrame,
     cfg: PipelineConfig | None = None,
+    persist_keyed: bool = True,
 ) -> dict[str, DataFrame]:
     """Build the full lazy plan; returns all derived tables (no actions
-    besides pass-1 mining's catalog collect)."""
+    besides pass-1 mining's catalog collect).
+
+    When `persist_keyed` is True the dict includes `_keyed_cache`: the
+    persisted shard-keyed DataFrame shared by both mining passes. Callers
+    MUST `out["_keyed_cache"].unpersist()` once the derived tables are
+    materialized (job.py's checkpointed path does) — otherwise each call
+    leaks one cached DataFrame in a long-lived session. Pass
+    persist_keyed=False for one-shot small inputs to skip the cache
+    entirely (pass 2 then recomputes shard keys once)."""
     cfg = cfg or PipelineConfig()
     parsed = parse(transcripts)
-    assigned, templates, _keyed = mine(parsed, cfg)
+    assigned, templates, keyed = mine_and_assign(parsed, cfg, persist=persist_keyed)
     enriched = enrich(assigned, tool_lookup, role_lookup)
     routed = route(enriched, cfg)
-    return {
+    out = {
         "turns_parsed": assigned,
         "templates": templates,
         "routed": routed,
         "agg_template_tool": aggregate(routed),
         "sink_counts": sink_counts(routed),
     }
+    if persist_keyed:
+        out["_keyed_cache"] = keyed
+    return out

@@ -65,7 +65,17 @@ def stream_pipeline(
             return
         keyed = with_shard_key(batch_df, cfg)
         assigned = assign_templates(keyed, catalogs, cfg).drop("salt", "shard_key")
-        assigned.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(out_path)
+        # exactly-once sink: foreachBatch is at-least-once (a batch that
+        # fails after its write is retried with the same batch_id), so the
+        # write must be an idempotent REPLACE of this batch's partition —
+        # dynamic partition overwrite on _batch_id, not a blind append
+        (
+            assigned.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
     if trigger_available_now:

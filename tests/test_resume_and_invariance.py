@@ -76,6 +76,48 @@ def test_resume_is_idempotent(spark, frames, tmp_path):
     assert sum(routed_rows[-1]["partitions"].values()) == sum(clean.values())
 
 
+def test_snapshot_isolation_on_overwrite(spark, tmp_path):
+    """Iceberg-semantic commits: a reader that resolved the table before an
+    overwrite still sees its snapshot (the round-1 rmtree+rename had a window
+    where the table vanished); retention keeps exactly the last 2 snapshots."""
+    import os
+
+    store = SinkStore(str(tmp_path / "wh_snap"))
+    store.write_table(spark.range(10).withColumn("v", F.lit("a")), "t", "fp1")
+    old_reader = store.read_table(spark, "t")  # resolves snap-000001
+    store.write_table(spark.range(5).withColumn("v", F.lit("b")), "t", "fp2")
+    # previous snapshot still readable by the in-flight reader
+    assert old_reader.count() == 10
+    assert store.read_table(spark, "t").count() == 5
+    # third commit prunes snap-1; exactly 2 snapshots + manifests retained
+    store.write_table(spark.range(7).withColumn("v", F.lit("c")), "t", "fp3")
+    snaps = sorted(d for d in os.listdir(store.table_path("t")) if d.startswith("snap-"))
+    assert len(snaps) == 2 and snaps[0].startswith("snap-000002")
+    manifests = os.listdir(store._manifest_dir("t"))
+    assert len(manifests) == 2
+    # manifest metrics come from footers and match the data
+    m = store.current_manifest("t")
+    assert m["rows"] == 7 and m["fingerprint"] == "fp3" and len(m["files"]) >= 1
+
+
+def test_resume_rejects_stale_fingerprint_after_interleaved_run(spark, frames, tmp_path):
+    """Warehouse reused across configs: run A, run B (overwrites tables), then
+    resume A — A must RECOMPUTE, not silently serve B's tables (the old
+    committed() accepted any historical lineage row for the fingerprint)."""
+    t, tool_l, role_l = frames
+    store = SinkStore(str(tmp_path / "wh_aba"))
+    cfg_a, cfg_b = CFG, PipelineConfig(anomaly_min_count=3)
+    out_a = run_checkpointed(spark, t, tool_l, role_l, store, cfg_a, input_desc="tiny")
+    counts_a = _sink_counts(out_a)
+    out_b = run_checkpointed(spark, t, tool_l, role_l, store, cfg_b, resume=True, input_desc="tiny")
+    counts_b = _sink_counts(out_b)
+    assert counts_a != counts_b  # configs genuinely diverge
+    out_a2 = run_checkpointed(spark, t, tool_l, role_l, store, cfg_a, resume=True, input_desc="tiny")
+    assert _sink_counts(out_a2) == counts_a
+    # A was recomputed (3 committed turns_parsed rows: A, B, A-again)
+    assert sum(r["stage"] == "turns_parsed" for r in store.lineage_rows()) == 3
+
+
 def test_config_change_invalidates_checkpoint(spark, frames, tmp_path):
     t, tool_l, role_l = frames
     store = SinkStore(str(tmp_path / "wh2"))

@@ -54,6 +54,14 @@ def test_stream_pipeline_matches_batch(spark, tmp_path):
     q2 = stream_pipeline(stream_lines(spark, in_dir, SCHEMA), catalogs, out_dir, ckpt, CFG)
     q2.awaitTermination(60)
     assert spark.read.parquet(out_dir).count() == len(pdf)
+    # simulate a batch RETRY: a fresh checkpoint replays the same input with
+    # the same batch ids into the same sink — the dynamic-partition-overwrite
+    # write must REPLACE each _batch_id partition, not duplicate it
+    q3 = stream_pipeline(
+        stream_lines(spark, in_dir, SCHEMA), catalogs, out_dir, str(tmp_path / "ck_retry"), CFG
+    )
+    q3.awaitTermination(60)
+    assert spark.read.parquet(out_dir).count() == len(pdf)
 
 
 def test_windowed_template_counts_stream(spark, tmp_path):
