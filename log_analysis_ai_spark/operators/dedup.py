@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism when the input arrives in fewer
+    partitions than cores — a small corpus in one parquet row group otherwise
+    runs the (expensive) signature stage single-threaded. At cluster scale
+    the input is naturally wide and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest id per distinct text. Shuffles on
     xxhash64(text) (64-bit collision odds negligible below ~10^9 distinct
@@ -45,17 +56,45 @@ def word_shingles(text_col: str = "text", n: int = 3):
 
 def minhash_signature(shingles, k: int = 64):
     """k-permutation MinHash as k salted xxhash64 min-folds — pure JVM.
-    (Salting replaces the classic (a*h+b) mod p permutations to stay clear
-    of ANSI-mode long-overflow; same independence guarantees in practice.)"""
+
+    The string shingle is hashed ONCE (`_h0 = xxhash64(shingle)`); the k
+    permutations re-hash the resulting 8-byte long (`xxhash64(h0, i)`), not
+    the string — hashing a long is ~shingle-length× cheaper, and the shared
+    inner transform is a common subexpression codegen evaluates once.
+    (Salted re-hash replaces the classic (a*h+b) mod p permutations to stay
+    clear of ANSI-mode long-overflow; same independence in practice.)"""
+    h0 = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(h0, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(k)
         ]
     )
 
 
-def minhash_candidates(
+def guard_hot_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop LSH buckets larger than `max_bucket_size` before a self-join.
+
+    One degenerate bucket (boilerplate shingles, all-zero SimHash chunks
+    from short docs) otherwise produces |bucket|² candidate pairs — the
+    classic skew blowup at 100 TB. The size table shuffles on the same keys
+    as the subsequent self-join, so the guard adds no extra fact-table
+    shuffle. Use `hot_bucket_report` for drop accounting."""
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    return banded.join(sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"), keys)
+
+
+def hot_bucket_report(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """The buckets a guard of `max_bucket_size` would drop, with sizes —
+    monitoring/accounting companion to `guard_hot_buckets`."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -63,11 +102,11 @@ def minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-    Returns (id_a, id_b) with id_a < id_b, distinct."""
+    """(_id, band, bucket) rows — one per doc per LSH band."""
     r = k // bands
     sig = minhash_signature(word_shingles(text_col, shingle_n), k)
-    banded = df.select(
+    df = widen_if_narrow(df)
+    return df.select(
         F.col(id_col).alias("_id"), sig.alias("_sig")
     ).select(
         "_id",
@@ -85,6 +124,26 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    Buckets above `max_bucket_size` are dropped before the self-join (skew
+    guard — candidate counts stay linear under adversarial near-identical
+    corpora). Returns (id_a, id_b) with id_a < id_b, distinct."""
+    banded = guard_hot_buckets(
+        minhash_banded(df, text_col, id_col, k, bands, shingle_n),
+        ["band", "bucket"],
+        max_bucket_size,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -103,6 +162,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for candidate pairs (verification stage).
     Native array_intersect/array_union on distinct shingle sets."""
+    df = widen_if_narrow(df)
     sh = df.select(
         F.col(id_col).alias("_id"), F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh")
     )
@@ -127,9 +187,10 @@ def minhash_near_dups(
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """MinHash LSH candidates verified by exact Jaccard >= threshold."""
-    cand = minhash_candidates(df, text_col, id_col, k, bands, shingle_n)
+    cand = minhash_candidates(df, text_col, id_col, k, bands, shingle_n, max_bucket_size)
     return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
@@ -156,15 +217,21 @@ def simhash_signature_udf():
 def simhash_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Add a `simhash` column: token hashes JVM-side, bit fold in numpy."""
     tok_hashes = F.transform(F.split(F.lower(F.col(text_col)), " +"), lambda t: F.xxhash64(t))
-    return df.withColumn("simhash", simhash_signature_udf()(tok_hashes))
+    return widen_if_narrow(df).withColumn("simhash", simhash_signature_udf()(tok_hashes))
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Near-dups by SimHash Hamming distance: band the 64-bit signature into
     4×16-bit chunks (any Hamming-≤3 pair shares at least one chunk by
-    pigeonhole), bucket-join, verify with bit_count(xor)."""
+    pigeonhole), bucket-join, verify with bit_count(xor). Chunks shared by
+    more than `max_bucket_size` docs are dropped before the self-join (skew
+    guard — e.g. the all-zero chunk that every very short doc hashes to)."""
     sh = simhash_docs(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
     banded = sh.select(
         "_id",
@@ -181,6 +248,7 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("_id", "simhash", "bb.band", "bb.chunk")
+    banded = guard_hot_buckets(banded, ["band", "chunk"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -119,15 +119,22 @@ def near_dup_embeddings(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-bucket join, exact
     cosine verification inside buckets (id_a < id_b). Pass `dim` to avoid
-    the driver-side probe job that otherwise infers it from the first row."""
+    the driver-side probe job that otherwise infers it from the first row.
+    Buckets above `max_bucket_size` are dropped before the self-join (skew
+    guard: a degenerate hyperplane bucket — e.g. many zero/duplicate
+    vectors — would otherwise cost |bucket|² verification pairs)."""
+    from .dedup import guard_hot_buckets
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
         "_bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col("_v"))
     )
+    b = guard_hot_buckets(b, ["_bucket"], max_bucket_size)
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r, (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id"))

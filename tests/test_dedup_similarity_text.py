@@ -123,6 +123,51 @@ def test_near_dup_embeddings_finds_planted(spark, emb):
     assert any({r.id_a, r.id_b} >= {9001, 9002} or (r.id_a, r.id_b) == (9001, 9002) for r in pairs)
 
 
+def test_hot_bucket_guard_keeps_candidates_linear(spark):
+    """Adversarial skew fixture: 1,000 near-identical docs all but collide in
+    every LSH band. Unguarded, the self-join yields ~n²/2 ≈ 500k candidate
+    pairs; with a bucket cap the candidate count stays linear (here: zero
+    from the capped buckets) and the report names what was dropped."""
+    from log_analysis_ai_spark.operators.dedup import (
+        hot_bucket_report,
+        minhash_banded,
+        minhash_candidates,
+    )
+
+    base = "session opened for user admin from host10 port 22 via ssh protocol two"
+    rows = [(i, base) for i in range(1000)] + [
+        (2000, "a totally unrelated document about spark window functions"),
+        (2001, "a totally unrelated document about spark window functions"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 50
+    cand = minhash_candidates(df, max_bucket_size=cap)
+    n_cand = cand.count()
+    # the planted unrelated near-pair survives; the 1000-clone blowup doesn't
+    assert n_cand < 1000  # linear, nowhere near the ~500k unguarded pairs
+    assert (2000, 2001) in {(r.id_a, r.id_b) for r in cand.collect()}
+    # drop accounting: the report names the oversized buckets
+    report = hot_bucket_report(minhash_banded(df), ["band", "bucket"], cap)
+    dropped = report.collect()
+    assert len(dropped) >= 1 and all(r.bucket_size > cap for r in dropped)
+    print(f"hot-bucket guard dropped {len(dropped)} buckets "
+          f"(max size {max(r.bucket_size for r in dropped)})")
+
+
+def test_simhash_guard_drops_clone_bucket(spark):
+    from log_analysis_ai_spark.operators.dedup import simhash_near_dups
+
+    rows = [(i, "identical clone text repeated everywhere") for i in range(300)] + [
+        (900, "some other sentence entirely"),
+        (901, "some other sentence entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_dups(df, max_hamming=0, max_bucket_size=50).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (900, 901) in got
+    assert len(got) < 300 * 299 // 2  # clone blowup suppressed
+
+
 def test_text_stats(docs):
     out = with_text_stats(docs).select(
         "doc_id", "text", "n_tokens_ws", "n_tokens_bpe", "quality", "lang_pred", "fingerprint"
