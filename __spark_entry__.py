@@ -225,6 +225,21 @@ def _docs_dedup_exact(spark, sf_dir):
     return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id").orderBy("doc_id")
 
 
+def _docs_dedup_groups(spark, sf_dir):
+    """Duplicate-group resolution: docs sharing a 12-char text prefix OR
+    suffix connect; connected components merge chains across the two keys;
+    the min doc_id per component is the canonical keeper. DuckDB checks the
+    transitive closure with a recursive CTE."""
+    from log_analysis_ai_spark.operators.dedup import dedup_groups_by_keys
+
+    d = _t(spark, sf_dir, "documents")
+    keys = [
+        F.expr("substring(text, 1, 12)"),
+        F.expr("substring(text, greatest(length(text) - 11, 1))"),
+    ]
+    return dedup_groups_by_keys(d, keys).orderBy("doc_id")
+
+
 def _docs_token_stats(spark, sf_dir):
     from log_analysis_ai_spark.functions.text import token_count_bpe_ish, token_count_ws
 
@@ -504,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range_events": _time_range_events,
         "docs_search": _docs_search,
         "docs_dedup_exact": _docs_dedup_exact,
+        "docs_dedup_groups": _docs_dedup_groups,
         "docs_token_stats": _docs_token_stats,
         "docs_quality": _docs_quality,
         "docs_langid": _docs_langid,
@@ -653,6 +669,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM (
               SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
               FROM documents) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "docs_dedup_groups": """
+            WITH RECURSIVE keyed AS (
+              SELECT doc_id, substr(text, 1, 12) AS pk,
+                     substr(text, greatest(length(text) - 11, 1)) AS sk
+              FROM documents
+            ), edges AS (
+              SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY pk) AS dst FROM keyed
+              UNION
+              SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY sk) AS dst FROM keyed
+            ), bidir AS (
+              SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+            ), reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT b.src, reach.r FROM reach JOIN bidir b ON b.dst = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS group_id, (min(r) = node) AS keep
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "docs_token_stats": """
             SELECT doc_id,

@@ -196,6 +196,95 @@ def minhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Distributed connected components by iterative min-label propagation.
+
+    Returns (node, label) with label = the smallest node id reachable from
+    `node` — the canonical-keeper rule for dedup groups. Converges in
+    O(component diameter) rounds (near-dup groups are shallow: star edges
+    give diameter ≤ 2 per key, a few rounds total). Each round is one
+    co-partitioned join + groupBy over the EDGE table — for near-dup
+    pipelines pairs ≪ docs, so the loop moves candidate-pair-scale data,
+    never the corpus. `localCheckpoint` truncates the iterative lineage
+    (the classic Spark pitfall: an unbounded plan tree that re-executes
+    every prior round)."""
+    e = pairs.select(F.col(src).cast("long").alias("e_a"), F.col(dst).cast("long").alias("e_b"))
+    edges = e.union(e.select(F.col("e_b").alias("e_a"), F.col("e_a").alias("e_b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("e_a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.e_b == labels.node)
+            .groupBy("e_a")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("e_a", "node")
+        )
+        labels = labels.join(nbr, "node", "left").select(
+            "node", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label")
+        )
+        labels = labels.localCheckpoint(eager=True)
+        # labels decrease monotonically, so an unchanged sum == fixpoint
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def dedup_groups_by_keys(df: DataFrame, keys: list, id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group resolution over one or more blocking-key expressions.
+
+    Docs sharing ANY key value are connected (star edges to the per-key min
+    id — same components as a clique, linear edge count), then transitive
+    closure merges chains across keys. Returns (id_col, group_id, keep)
+    where group_id = min doc id of the component and keep marks the
+    canonical survivor. The per-key edge build is groupBy-min + a
+    co-partitioned join back on the key — no broadcast of doc-sized data."""
+    edge_frames = []
+    for k in keys:
+        keyed = df.select(F.col(id_col).alias("_id"), k.alias("_k"))
+        mins = keyed.groupBy("_k").agg(F.min("_id").alias("_root"))
+        edge_frames.append(
+            keyed.join(mins, "_k").select(
+                F.col("_id").alias("id_a"), F.col("_root").alias("id_b")
+            )
+        )
+    edges = edge_frames[0]
+    for extra in edge_frames[1:]:
+        edges = edges.union(extra)
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("group_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """MinHash near-dup pairs resolved into keep/drop groups: verified pairs
+    → connected components → (doc_id, group_id, keep). Docs with no near-dup
+    partner are absent (implicitly kept); the CC loop therefore runs over
+    pair-scale data only."""
+    pairs = minhash_near_dups(df, text_col, id_col, threshold, **minhash_kwargs)
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("group_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
 def simhash_signature_udf():
     """64-bit SimHash over space tokens — Arrow-vectorized numpy bit fold."""
 

@@ -123,6 +123,53 @@ def test_near_dup_embeddings_finds_planted(spark, emb):
     assert any({r.id_a, r.id_b} >= {9001, 9002} or (r.id_a, r.id_b) == (9001, 9002) for r in pairs)
 
 
+def test_connected_components_hand_graph(spark):
+    from log_analysis_ai_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "id_a long, id_b long"
+    )
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_near_dup_groups_transitive_chain(spark):
+    """A≈B and B≈C (A not directly paired with C) must land in ONE group —
+    the keep/drop set needs transitive closure, not raw pairs."""
+    from log_analysis_ai_spark.operators.dedup import near_dup_groups
+
+    a = "the quick brown fox jumps over the lazy dog again and again today ok"
+    b = a.replace("today", "tomorrow")
+    c = b.replace("quick", "slow")
+    far = "completely different words in this sentence with no overlap at all"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, far)], "doc_id long, text string"
+    )
+    groups = near_dup_groups(df, threshold=0.5)
+    rows = {r.doc_id: (r.group_id, r.keep) for r in groups.collect()}
+    assert rows[1] == (1, True)
+    assert rows.get(2) == (1, False) and rows.get(3) == (1, False)
+    assert 9 not in rows  # no near-dup partner -> implicitly kept
+
+
+def test_dedup_groups_by_keys_merges_across_keys(spark):
+    """Prefix connects (1,2); suffix connects (2,3): one group of three."""
+    from log_analysis_ai_spark.operators.dedup import dedup_groups_by_keys
+
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIXAAA middle one ENDX"),
+            (2, "PREFIXAAA middle two ENDY"),
+            (3, "OTHERSTART middle xx ENDY"),
+            (4, "LONELY document text ENDZ"),
+        ],
+        "doc_id long, text string",
+    )
+    keys = [F.expr("substring(text, 1, 9)"), F.expr("substring(text, length(text) - 3, 4)")]
+    got = {r.doc_id: (r.group_id, r.keep) for r in dedup_groups_by_keys(df, keys).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
+
+
 def test_hot_bucket_guard_keeps_candidates_linear(spark):
     """Adversarial skew fixture: 1,000 near-identical docs all but collide in
     every LSH band. Unguarded, the self-join yields ~n²/2 ≈ 500k candidate
