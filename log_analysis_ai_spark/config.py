@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from .drain_core import DEFAULT_PREPROCESS_PATTERNS
+
 
 # Shared parse regexes (used verbatim by both Spark `F.regexp_extract` and
 # pandas `.str.extract` so the two sides cannot drift).
@@ -23,6 +25,11 @@ class PipelineConfig:
     depth: int = 4
     sim_threshold: float = 0.5
     max_children: int = 100
+    # first-match-wins leading-noise strip patterns; user-supplied sets
+    # REPLACE the defaults (reference: src/drain_parser.cpp:256-267).
+    # Strings, not compiled — they ship to Spark workers and into the run
+    # fingerprint; drain_core.compile_patterns caches compilation.
+    preprocess_patterns: tuple[str, ...] = DEFAULT_PREPROCESS_PATTERNS
     # skew defusal: each logical shard splits into this many salted
     # sub-shards (salt = xxh64(conv_id) % salt_buckets — deterministic per
     # row, independent of parallelism); sub-shard catalogs merge by

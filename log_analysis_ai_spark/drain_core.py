@@ -53,6 +53,24 @@ DEFAULT_PREPROCESS_PATTERNS: tuple[str, ...] = (
 
 _COMPILED_PATTERNS = [re.compile(p) for p in DEFAULT_PREPROCESS_PATTERNS]
 
+_COMPILE_CACHE: dict[tuple[str, ...], list[re.Pattern]] = {
+    DEFAULT_PREPROCESS_PATTERNS: _COMPILED_PATTERNS
+}
+
+
+def compile_patterns(patterns: tuple[str, ...] | None) -> list[re.Pattern]:
+    """Compile (and cache) a preprocess pattern set. `None` → the defaults.
+    Pattern sets travel as STRINGS (re.Pattern doesn't pickle into Spark
+    workers); workers compile once per distinct set via this cache.
+    Reference analog: user-supplied patterns replace the defaults
+    (src/drain_parser.cpp:256-267)."""
+    if patterns is None:
+        return _COMPILED_PATTERNS
+    key = tuple(patterns)
+    if key not in _COMPILE_CACHE:
+        _COMPILE_CACHE[key] = [re.compile(p) for p in key]
+    return _COMPILE_CACHE[key]
+
 
 def preprocess(text: str, patterns: list[re.Pattern] | None = None) -> str:
     """Strip leading noise: content after the END of the first matching
@@ -111,14 +129,14 @@ def masked_prefix(tokens: list[str], depth: int = 4) -> tuple[str, ...]:
     return tuple(mask_token(t) for t in tokens[: min(depth, len(tokens))])
 
 
-def shard_key_str(text: str, depth: int = 4) -> str:
+def shard_key_str(text: str, depth: int = 4, patterns: list[re.Pattern] | None = None) -> str:
     """Canonical string form of the shard key (token_count | masked prefix).
 
     Lines that can ever share a Drain cluster agree on this key, so mining
     state never crosses shards."""
     if text == "":
         return "0|"
-    toks = tokenize(preprocess(text))
+    toks = tokenize(preprocess(text, patterns))
     return f"{len(toks)}|" + " ".join(masked_prefix(toks, depth))
 
 

@@ -41,14 +41,13 @@ from ..hashing import template_id, xxh64
 NUM_RE = r"[+-]?(?:\d+\.?\d*|\.\d+)"
 _NUM = re.compile(NUM_RE)
 
-_ANCHORED = [re.compile(p) for p in dc.DEFAULT_PREPROCESS_PATTERNS]
-
-
-def preprocess_series(s: pd.Series) -> pd.Series:
-    """Vectorized first-match-wins leading-noise strip (pandas .str ops)."""
+def preprocess_series(s: pd.Series, patterns: tuple[str, ...] | None = None) -> pd.Series:
+    """Vectorized first-match-wins leading-noise strip (pandas .str ops).
+    `patterns` are the config's pattern STRINGS (compiled via the shared
+    drain_core cache so engine and oracle cannot drift)."""
     out = s.copy()
     done = pd.Series(False, index=s.index)
-    for pat in _ANCHORED:
+    for pat in dc.compile_patterns(patterns):
         m = out.str.match(pat) & ~done
         if m.any():
             out.loc[m] = out.loc[m].str.replace(pat, "", regex=True, n=1).str.lstrip(" ")
@@ -56,14 +55,14 @@ def preprocess_series(s: pd.Series) -> pd.Series:
     return out
 
 
-def _shard_keys(texts: pd.Series, depth: int) -> pd.Series:
+def _shard_keys(texts: pd.Series, depth: int, patterns: tuple[str, ...] | None = None) -> pd.Series:
     """Shard keys: token count + masked depth-prefix. Preprocess is the
     vectorized regex pass; the key build is a tight Python loop — measured
     FASTER than the equivalent pandas .str pipeline (object-dtype .str ops
     pay more per kernel than one fused loop; ~4µs/row either way, inside an
     Arrow-batched UDF)."""
     raw = texts.fillna("")
-    pre = preprocess_series(raw)
+    pre = preprocess_series(raw, patterns)
     fm = _NUM.fullmatch
     wc = dc.WILDCARD
     keys = []
@@ -80,10 +79,11 @@ def _shard_keys(texts: pd.Series, depth: int) -> pd.Series:
 def with_shard_key(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Add `shard_key` (string) and `salt` (int) columns."""
     depth = cfg.depth
+    pats = tuple(cfg.preprocess_patterns)
 
     @F.pandas_udf("string")
     def shard_key_udf(s: pd.Series) -> pd.Series:
-        return _shard_keys(s, depth)
+        return _shard_keys(s, depth, pats)
 
     return df.withColumn("shard_key", shard_key_udf(F.col("text"))).withColumn(
         "salt", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(cfg.salt_buckets)).cast("int")
@@ -103,6 +103,7 @@ def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list
 
     Returns {shard_key_str: [template token list, ...]} (creation order)."""
     sim = cfg.sim_threshold
+    pats = tuple(cfg.preprocess_patterns)
 
     def mine_parts(batches) -> "pd.DataFrame":
         chunks = list(batches)
@@ -110,7 +111,7 @@ def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list
             return
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        pdf["_pre"] = preprocess_series(pdf["text"].astype(str))
+        pdf["_pre"] = preprocess_series(pdf["text"].astype(str), pats)
         out_sk, out_salt, out_pos, out_tpl = [], [], [], []
         for (sk, salt), g in pdf.groupby(["shard_key", "salt"], sort=False):
             cat = dc.mine_shard(g["_pre"].tolist(), sim)
@@ -164,6 +165,7 @@ def assign_templates(
     empty_id = template_id(dc.EMPTY_TEMPLATE)
     bc = spark.sparkContext.broadcast(catalog_ids)
     sim = cfg.sim_threshold
+    pats = tuple(cfg.preprocess_patterns)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df_with_keys.schema.fields
     ) + ", template_id long, template_str string, params map<string,string>"
@@ -191,7 +193,7 @@ def assign_templates(
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             texts = pdf["text"].astype(str)
-            pre_np = preprocess_series(texts).to_numpy()
+            pre_np = preprocess_series(texts, pats).to_numpy()
             n = len(pdf)
             ids = np.full(n, empty_id, dtype=np.int64)
             strs = np.full(n, dc.EMPTY_TEMPLATE, dtype=object)

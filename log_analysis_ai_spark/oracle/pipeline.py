@@ -32,9 +32,10 @@ def mine_catalogs(texts_by_subshard: dict[tuple[str, int], list[str]], cfg: Pipe
     """Pass 1: mine each salted sub-shard sequentially (caller provides
     canonical-order texts), then merge sub-shards per logical shard in salt
     order (deterministic)."""
+    pats = dc.compile_patterns(tuple(cfg.preprocess_patterns))
     per_shard: dict[str, list[tuple[int, list[list[str]]]]] = {}
     for (skey, salt), texts in texts_by_subshard.items():
-        lines = [dc.preprocess(t) for t in texts]
+        lines = [dc.preprocess(t, pats) for t in texts]
         cat = dc.mine_shard(lines, cfg.sim_threshold)
         per_shard.setdefault(skey, []).append((salt, cat))
     return {
@@ -58,7 +59,8 @@ def run_oracle(
 
     # --- shard keys + salt ---------------------------------------------------
     texts = df["text"].astype(str).tolist()
-    skeys = [dc.shard_key_str(t, cfg.depth) for t in texts]
+    pats = dc.compile_patterns(tuple(cfg.preprocess_patterns))
+    skeys = [dc.shard_key_str(t, cfg.depth, pats) for t in texts]
     salts = [xxh64(c) % cfg.salt_buckets for c in df["conv_id"].astype(str)]
 
     # --- pass 1: mine --------------------------------------------------------
@@ -77,7 +79,7 @@ def run_oracle(
             tmpl_strs.append(dc.EMPTY_TEMPLATE)
             params_list.append({})
             continue
-        toks = dc.tokenize(dc.preprocess(t))
+        toks = dc.tokenize(dc.preprocess(t, pats))
         cat = catalogs[sk]
         idx, _ = dc.assign_line(toks, cat, cfg.sim_threshold)
         if idx < 0:

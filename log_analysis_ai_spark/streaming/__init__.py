@@ -1,3 +1,8 @@
 """Structured Streaming surface: file-source tailing, micro-batch pipeline."""
 
-from .stream import stream_lines, stream_pipeline, windowed_template_counts  # noqa: F401
+from .stream import (  # noqa: F401
+    stream_lines,
+    stream_pipeline,
+    stream_pipeline_online,
+    windowed_template_counts,
+)

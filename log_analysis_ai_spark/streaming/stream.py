@@ -13,24 +13,38 @@ Event-time windows get real watermarks here (the reference's "watermarks"
 are queue *memory* watermarks, src/file_data_loader.h:172-178 — it has no
 late-data story at all).
 
-Template mining in a stream uses the assign-only path against a
-pre-mined catalog (broadcast), keeping micro-batches stateless; full
-streaming mining would need applyInPandasWithState and is deliberately
-out of v1 scope (SURVEY.md §2.10).
+Template mining in a stream has two modes:
+- assign-only (`stream_pipeline`): stateless micro-batches match against a
+  pre-mined broadcast catalog — the standard mine-offline/assign-online
+  production split. Lines of an unseen shape get per-line fallback templates.
+- online incremental (`stream_pipeline_online`): `applyInPandasWithState`
+  keyed by `shard_key` carries each shard's template catalog as streaming
+  state, so unseen shapes are MINED at arrival (merged `<*>` clusters, not
+  fallbacks) — the reference's per-line online behavior
+  (src/drain_parser.cpp:187-207). Assignment uses the cluster's template at
+  arrival time, so templates can erode as later lines merge in — exactly the
+  arrival-order semantics the batch engine's two-pass design removes.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import drain_core as dc
 from ..config import PipelineConfig
-from ..operators.drain import assign_templates, with_shard_key
+from ..hashing import template_id
+from ..operators.drain import assign_templates, preprocess_series, with_shard_key
 
 
-def stream_lines(spark: SparkSession, path: str, schema: str, fmt: str = "json") -> DataFrame:
+def stream_lines(
+    spark: SparkSession, path: str, schema: str, fmt: str = "json", max_files_per_trigger: int = 8
+) -> DataFrame:
     """Tail a directory of files as a stream (follow-mode equivalent)."""
-    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 8)
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(path) if fmt == "json" else reader.text(path)
 
 
@@ -78,6 +92,94 @@ def stream_pipeline(
         )
 
     writer = stream_df.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+ONLINE_OUT_SCHEMA = (
+    "conv_id string, turn_idx int, text string, template_id long, template_str string"
+)
+ONLINE_STATE_SCHEMA = "catalog array<string>"
+
+
+def online_miner_fn(cfg: PipelineConfig, seed_catalogs: dict[str, list[list[str]]] | None):
+    """The applyInPandasWithState group function: one shard's catalog lives
+    in streaming state; each batch seeds a ShardMiner from it, mines the
+    batch's lines in canonical (conv_id, turn_idx) order, and writes the
+    grown catalog back. Strict one-pass Drain (no unique-line shortcut) —
+    the online analog the reference implements."""
+    seeds = seed_catalogs or {}
+    sim = cfg.sim_threshold
+    pats = tuple(cfg.preprocess_patterns)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        shard_key = key[0]
+        if state.exists:
+            templates = list(state.get[0])
+            cat = [t.split(" ") for t in templates]
+        else:
+            cat = [list(t) for t in seeds.get(shard_key, [])]
+        miner = dc.ShardMiner(sim, [dc.Cluster(list(t)) for t in cat])
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(pdf):
+            pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            pre = preprocess_series(pdf["text"].astype(str), pats)
+            tids, tstrs = [], []
+            for raw, p in zip(pdf["text"].astype(str), pre):
+                if raw == "":
+                    tids.append(template_id(dc.EMPTY_TEMPLATE))
+                    tstrs.append(dc.EMPTY_TEMPLATE)
+                    continue
+                i = miner.add_line(dc.tokenize(p))
+                s = miner.clusters[i].template_str  # template AT ARRIVAL TIME
+                tids.append(template_id(s))
+                tstrs.append(s)
+            out = pdf[["conv_id", "turn_idx", "text"]].copy()
+            out["template_id"] = tids
+            out["template_str"] = tstrs
+            yield out
+        state.update(([c.template_str for c in miner.clusters],))
+
+    return fn
+
+
+def stream_pipeline_online(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    cfg: PipelineConfig | None = None,
+    seed_catalogs: dict[str, list[list[str]]] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Online incremental mining: stateful per-shard catalogs grow across
+    micro-batches (unseen template shapes get mined, not fallback-assigned).
+    Shard keys are high-cardinality, so state distributes across executors;
+    per-shard state is catalog-sized (templates ≪ rows). Sink writes are
+    idempotent per batch (dynamic partition overwrite on _batch_id)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cfg = cfg or PipelineConfig()
+    keyed = with_shard_key(stream_df, cfg)
+    mined = keyed.groupBy("shard_key").applyInPandasWithState(
+        online_miner_fn(cfg, seed_catalogs),
+        outputStructType=ONLINE_OUT_SCHEMA,
+        stateStructType=ONLINE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = mined.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -76,6 +76,53 @@ def test_custom_replace_with_capture(spark):
     assert out.terms == ["10.0.0.1", "user=jane"]
 
 
+def test_custom_preprocess_patterns_engine_and_oracle(spark):
+    """User-supplied preprocess patterns REPLACE the defaults (reference:
+    src/drain_parser.cpp:256-267) and flow through config to BOTH the Spark
+    miner and the pandas oracle, which must still agree exactly. Patterns
+    must be start-anchored (^) — the vectorized engine path matches at the
+    line start."""
+    import pandas as pd
+
+    from log_analysis_ai_spark import drain_core as dc
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.operators.drain import mine_and_assign
+    from log_analysis_ai_spark.oracle.pipeline import mine_catalogs
+
+    cfg = PipelineConfig(preprocess_patterns=(r"^REQID-\d+", r"^\[[^\]]*\]"))
+    rows = [
+        # the varying token sits PAST the depth-4 prefix so the lines share
+        # a Drain leaf and merge (a difference inside the prefix correctly
+        # routes to different shards)
+        ("c0", 0, "REQID-17 fetch user from cache key alpha"),
+        ("c0", 1, "REQID-18 fetch user from cache key beta"),
+        ("c1", 0, "[node1] fetch user from cache key gamma"),
+        ("c1", 1, "2024-01-01T10:00:00 stays because iso pattern was replaced x"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"]))
+    assigned, templates, _ = mine_and_assign(df, cfg, persist=False)
+    got = {r.conv_id + str(r.turn_idx): r.template_str for r in assigned.collect()}
+    # REQID/bracket prefixes stripped -> the three fetch lines share a shard
+    # and merge; the ISO timestamp is NOT stripped (custom set replaced it)
+    assert got["c00"] == "fetch user from cache key <*>"
+    assert got["c01"] == "fetch user from cache key <*>"
+    assert got["c10"] == "fetch user from cache key <*>"
+    assert got["c11"].startswith("2024-01-01T10:00:00 stays")
+    # oracle with the same cfg mines the identical catalog
+    pats = dc.compile_patterns(tuple(cfg.preprocess_patterns))
+    by_sub = {}
+    from log_analysis_ai_spark.hashing import xxh64
+
+    for conv, _turn, text in rows:
+        sk = dc.shard_key_str(text, cfg.depth, pats)
+        by_sub.setdefault((sk, xxh64(conv) % cfg.salt_buckets), []).append(text)
+    want = {
+        " ".join(tpl) for cat in mine_catalogs(by_sub, cfg).values() for tpl in cat
+    }
+    got_templates = {r.template_str for r in templates.collect()} - {dc.EMPTY_TEMPLATE}
+    assert got_templates == want
+
+
 def test_reassemble_logical_lines(spark, tmp_path):
     p = tmp_path / "cont.log"
     p.write_text(

@@ -64,6 +64,81 @@ def test_stream_pipeline_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == len(pdf)
 
 
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_online_miner_mines_unseen_shapes_across_batches(spark, tmp_path):
+    """A template shape absent from the offline seed catalog must get MINED
+    online (merged <*> cluster carried in state across micro-batches), not
+    per-line fallback-assigned — the reference's online behavior
+    (src/drain_parser.cpp:187-207)."""
+    from log_analysis_ai_spark.streaming import stream_pipeline_online
+
+    pdf = gen_transcripts(20)
+    seed = mine_catalog(with_shard_key(spark.createDataFrame(pdf), CFG), CFG)
+    base_ts = pdf.ts.iloc[0].isoformat()
+    # non-numeric param PAST the depth-4 prefix (a differing token inside the
+    # prefix would route to different Drain leaves — correct behavior, but
+    # not what this test exercises): fallback would leave each line literal;
+    # online mining merges them to 'deploy the rocket payload <*> now'
+    rocket = lambda w, i: {  # noqa: E731
+        "conv_id": f"rkt-{i}", "turn_idx": 0, "role": "user",
+        "text": f"deploy the rocket payload {w} now", "tool": "none", "ts": base_ts,
+    }
+    in_dir, out_dir, ckpt = str(tmp_path / "in3"), str(tmp_path / "out3"), str(tmp_path / "ck3")
+    os.makedirs(in_dir)
+    _write_jsonl(f"{in_dir}/f0.jsonl", [rocket("alpha", 0)])
+    _write_jsonl(f"{in_dir}/f1.jsonl", [rocket("beta", 1), rocket("gamma", 2)])
+    q = stream_pipeline_online(
+        stream_lines(spark, in_dir, SCHEMA, max_files_per_trigger=1),
+        out_dir, ckpt, CFG, seed_catalogs=seed,
+    )
+    q.awaitTermination(120)
+    got = {r.conv_id: r.template_str for r in spark.read.parquet(out_dir).collect()}
+    # arrival-time: first line creates a literal cluster
+    assert got["rkt-0"] == "deploy the rocket payload alpha now"
+    # later lines merge into the state-carried cluster — cross-batch mining
+    assert got["rkt-1"] == "deploy the rocket payload <*> now"
+    assert got["rkt-2"] == "deploy the rocket payload <*> now"
+
+
+def test_online_miner_equals_sequential_draintree(spark, tmp_path):
+    """Arrival-time online assignment over one micro-batch must equal a
+    sequential DrainTree run over the same lines in the same canonical
+    order (per-shard state == the tree's leaf miners)."""
+    from log_analysis_ai_spark import drain_core as dc
+    from log_analysis_ai_spark.streaming import stream_pipeline_online
+
+    pdf = gen_transcripts(30).sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    in_dir, out_dir, ckpt = str(tmp_path / "in4"), str(tmp_path / "out4"), str(tmp_path / "ck4")
+    os.makedirs(in_dir)
+    _write_jsonl(
+        f"{in_dir}/all.jsonl",
+        [
+            {
+                "conv_id": r.conv_id, "turn_idx": int(r.turn_idx), "role": r.role,
+                "text": r.text, "tool": r.tool, "ts": r.ts.isoformat(),
+            }
+            for _, r in pdf.iterrows()
+        ],
+    )
+    q = stream_pipeline_online(stream_lines(spark, in_dir, SCHEMA), out_dir, ckpt, CFG)
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.turn_idx): r.template_str
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    tree = dc.DrainTree(CFG.depth, CFG.sim_threshold, CFG.max_children)
+    want = {
+        (r.conv_id, int(r.turn_idx)): tree.add_line(r.text) for _, r in pdf.iterrows()
+    }
+    assert len(got) == len(want)
+    assert got == want
+
+
 def test_windowed_template_counts_stream(spark, tmp_path):
     from log_analysis_ai_spark.streaming import windowed_template_counts
 
