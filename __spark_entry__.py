@@ -203,6 +203,23 @@ def _events_zscore(spark, sf_dir):
     )
 
 
+def _events_rate_anomalies(spark, sf_dir):
+    """Volume-spike detection: per-(event_type, hour) counts z-scored within
+    each event_type (groupBy-agg + broadcast join back — no fact-table
+    window)."""
+    from log_analysis_ai_spark.operators.anomaly import rate_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = rate_anomalies(ev, ts_col="ts", key="event_type", window="1 hour", k=2.0)
+    return out.select(
+        "event_type",
+        "window_start",
+        "n",
+        F.round("zscore", 4).alias("zscore"),
+        "is_anomaly",
+    ).orderBy("event_type", "window_start")
+
+
 def _time_range_events(spark, sf_dir):
     from log_analysis_ai_spark.queries import time_range
 
@@ -439,6 +456,26 @@ def _docs_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3).orderBy("id_a", "id_b")
 
 
+def _emb_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (hyperplane-bucketed, guarded);
+    rows-only — LSH bucket recall is approximate, not SQL-expressible. The
+    fixture embeddings have no natural near-dups (max pairwise cosine ≈0.5),
+    so the query plants exact clones of vec_id<50 at +100000 — identical
+    vectors always share a bucket, so the planted pairs are found
+    deterministically."""
+    from log_analysis_ai_spark.operators.similarity import near_dup_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") < 50).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    return (
+        near_dup_embeddings(emb.unionByName(clones), threshold=0.92, dim=64)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _emb_ann_topk(spark, sf_dir):
     from log_analysis_ai_spark.operators.similarity import ann_topk
 
@@ -516,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": _events_props_json,
         "events_sessions": _events_sessions,
         "events_zscore": _events_zscore,
+        "events_rate_anomalies": _events_rate_anomalies,
         "time_range_events": _time_range_events,
         "docs_search": _docs_search,
         "docs_dedup_exact": _docs_dedup_exact,
@@ -535,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle):
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
+        "emb_near_dups": _emb_near_dups,
         "emb_ann_topk": _emb_ann_topk,
         "pipeline_template_counts": _pipeline_template_counts,
         "pipeline_sink_counts": _pipeline_sink_counts,
@@ -659,6 +698,19 @@ def oracle_sql() -> dict[str, str]:
                      stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
               FROM events)
             GROUP BY event_type ORDER BY event_type
+        """,
+        "events_rate_anomalies": """
+            SELECT event_type, window_start, n,
+                   round((n - mu) / sigma, 4) AS zscore,
+                   abs((n - mu) / sigma) > 2.0 AS is_anomaly
+            FROM (
+              SELECT event_type, window_start, n,
+                     avg(n) OVER (PARTITION BY event_type) AS mu,
+                     stddev_samp(n) OVER (PARTITION BY event_type) AS sigma
+              FROM (SELECT event_type, date_trunc('hour', ts) AS window_start,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2))
+            ORDER BY event_type, window_start
         """,
         "time_range_events": "SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events",
         "docs_search": """

@@ -33,8 +33,12 @@ class PipelineConfig:
     # skew defusal: each logical shard splits into this many salted
     # sub-shards (salt = xxh64(conv_id) % salt_buckets — deterministic per
     # row, independent of parallelism); sub-shard catalogs merge by
-    # identical masked form.
-    salt_buckets: int = 4
+    # identical masked form. The bucket count caps a HOT shard's mining
+    # parallelism (one dominant template = one shard = salt_buckets tasks):
+    # 4 was enough for 2 cores but starved 8+ (mine-stage scaling eff 0.74
+    # at 60M turns); the cross-salt distributed dedup keeps the driver
+    # collect size independent of this knob.
+    salt_buckets: int = 16
     # routing / rarity (frequency-based rarity scoring per template over
     # event-time windows — BASELINE.json north_star)
     window: str = "1 hour"

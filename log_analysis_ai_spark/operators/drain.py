@@ -154,16 +154,19 @@ def assign_templates(
     """Pass 2: broadcast the final catalog; match every row; emit
     template_id / template_str / params columns."""
     spark = df_with_keys.sparkSession
-    # pre-mint ids + wildcard positions/names once per template (per-catalog
-    # work, never per-row)
-    def _entry(tpl: list[str]) -> tuple:
-        s = " ".join(tpl)
+    # broadcast SLIM: template strings only — ids, token lists, wildcard
+    # positions and param names are derivable, so each worker rebuilds them
+    # once per shard (cached across Arrow batches) instead of the driver
+    # pickling the expanded form into the broadcast (the driver-serial
+    # broadcast build is the one non-distributed step of pass 2)
+    slim = {skey: [" ".join(tpl) for tpl in cats] for skey, cats in catalogs.items()}
+    empty_id = template_id(dc.EMPTY_TEMPLATE)
+    bc = spark.sparkContext.broadcast(slim)
+
+    def _entry(s: str) -> tuple:
+        tpl = s.split(" ")
         wc = [i for i, t in enumerate(tpl) if t == dc.WILDCARD]
         return (tpl, s, template_id(s), wc, [f"param_{i}" for i in wc])
-
-    catalog_ids = {skey: [_entry(tpl) for tpl in cats] for skey, cats in catalogs.items()}
-    empty_id = template_id(dc.EMPTY_TEMPLATE)
-    bc = spark.sparkContext.broadcast(catalog_ids)
     sim = cfg.sim_threshold
     pats = tuple(cfg.preprocess_patterns)
     out_schema = ", ".join(
@@ -188,8 +191,16 @@ def assign_templates(
             best_sim[better] = hits[better]
         return best_idx, best_sim
 
+    expanded: dict[str, list] = {}  # worker-local cache, persists across batches
+
+    def _cand(skey: str) -> list:
+        c = expanded.get(skey)
+        if c is None:
+            c = [_entry(s) for s in bc.value.get(skey, [])]
+            expanded[skey] = c
+        return c
+
     def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cats = bc.value
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
             texts = pdf["text"].astype(str)
@@ -204,7 +215,7 @@ def assign_templates(
                 rows = np.asarray(rows)
                 tok_lists = [pre_np[r].split(" ") for r in rows]
                 toks_mat = np.array(tok_lists, dtype=object)
-                cand = cats.get(skey, [])
+                cand = _cand(skey)
                 if cand:
                     best_idx, best_sim = _assign_shard(toks_mat, cand)
                 else:
@@ -271,6 +282,9 @@ def mine_and_assign(
     if persist:
         keyed = keyed.persist()
     catalogs = mine_catalog(keyed, cfg)  # action: populates the cache
-    assigned = assign_templates(keyed, catalogs, cfg).drop("salt")
+    # drop the working columns: shard_key is a ~30-byte string per row that
+    # no downstream stage reads — keeping it inflated the turns_parsed and
+    # routed table writes (templates records xxh64(shard_key) for lineage)
+    assigned = assign_templates(keyed, catalogs, cfg).drop("salt", "shard_key")
     templates = templates_table(df.sparkSession, catalogs)
     return assigned, templates, keyed

@@ -62,10 +62,18 @@ def route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     anomaly_flag = window count below threshold; template_class from
     param-count + global frequency (FIXTURES.md §4 sink key space)."""
     df = df.withColumn("window_start", F.date_trunc("hour", F.col("ts")))
-    window_counts = df.groupBy("window_start", "template_id").agg(
-        F.count(F.lit(1)).alias("window_count")
+    # ONE scan of the fact table builds the window counts; materializing the
+    # (windows × templates)-sized result lets both broadcast joins AND the
+    # global rollup read it without re-scanning 10^12 fact rows per branch
+    # (Spark has no cross-branch subplan reuse below the exchange level)
+    window_counts = (
+        df.groupBy("window_start", "template_id")
+        .agg(F.count(F.lit(1)).alias("window_count"))
+        .localCheckpoint(eager=True)
     )
-    global_counts = df.groupBy("template_id").agg(F.count(F.lit(1)).alias("global_count"))
+    global_counts = window_counts.groupBy("template_id").agg(
+        F.sum("window_count").alias("global_count")
+    )
     n_params = F.size(F.split(F.col("template_str"), r"<\*>")) - F.lit(1)
     return (
         df.join(F.broadcast(window_counts), ["window_start", "template_id"])

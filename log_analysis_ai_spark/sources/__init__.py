@@ -12,6 +12,7 @@ from .readers import (  # noqa: F401
     parse_regex,
     parse_syslog,
     read_csv,
+    read_csv_dimensions,
     read_lines,
     read_tsv,
     split_valid,

@@ -70,6 +70,55 @@ def read_csv(spark: SparkSession, path: str, sep: str = ",", header: bool = True
     return r.csv(path)
 
 
+def _strptime_to_spark(fmt: str) -> str:
+    """Best-effort strptime → Spark datetime pattern conversion so configs
+    written for the reference (std::get_time formats,
+    src/csv_parser.cpp:58-76) work unchanged."""
+    out = fmt
+    for a, b in (
+        ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+        ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"),
+        ("%b", "MMM"), ("%z", "XX"),
+    ):
+        out = out.replace(a, b)
+    return out
+
+
+def read_csv_dimensions(
+    spark: SparkSession,
+    path: str,
+    dimensions: list[str],
+    datetime_format: str | None = None,
+    sep: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """Config-driven positional dimension mapping (reference:
+    src/csv_parser.cpp:83-97): CSV column i maps to `dimensions[i]`.
+    Reserved roles: 'body' and 'severity' stay strings; 'timestamp' is
+    parsed with `datetime_format` (strptime or Spark patterns; falls back
+    to the multi-format chain when unset). Any other name becomes a named
+    attribute column. CSV columns beyond the list are dropped (reference
+    behavior). Entirely native CSV scan + projection — pushdown-friendly."""
+    raw = spark.read.csv(path, sep=sep, header=header, inferSchema=False)
+    cols = []
+    for i, dim in enumerate(dimensions):
+        if i >= len(raw.columns):
+            break
+        c = F.col(raw.columns[i])
+        if dim == "timestamp":
+            if datetime_format:
+                spark_fmt = (
+                    _strptime_to_spark(datetime_format)
+                    if "%" in datetime_format
+                    else datetime_format
+                )
+                c = F.to_timestamp(c, spark_fmt)
+            else:
+                c = to_timestamp_multi(c)
+        cols.append(c.alias(dim))
+    return raw.select(*cols)
+
+
 def read_tsv(spark: SparkSession, path: str, header: bool = True, schema=None) -> DataFrame:
     """TSV = CSV with tab (reference: src/file_data_loader.cpp:696-698)."""
     return read_csv(spark, path, sep="\t", header=header, schema=schema)

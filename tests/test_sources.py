@@ -124,3 +124,27 @@ def test_timestamp_fallback_chain(spark):
     got = [r.ts for r in df.collect()]
     assert all(t is not None for t in got[:5])
     assert got[5] is None
+
+
+def test_csv_dimensions_positional_mapping(spark, tmp_path):
+    """Config-driven positional dimension mapping (reference:
+    src/csv_parser.cpp:83-97): CSV column i maps to dimensions[i]; 'body'/
+    'timestamp'/'severity' are the reserved roles (timestamp parsed with the
+    configured format, strptime or Spark patterns), other names become
+    attribute columns; extra CSV columns beyond the list are dropped."""
+    from log_analysis_ai_spark.sources import read_csv_dimensions
+
+    p = str(tmp_path / "d.csv")
+    with open(p, "w") as f:
+        f.write("2025-03-01 10:00:00,ERROR,disk full,node7,ignored\n")
+        f.write("2025-03-01 10:00:01,INFO,ok,node2,ignored\n")
+    df = read_csv_dimensions(
+        spark, p,
+        dimensions=["timestamp", "severity", "body", "node"],
+        datetime_format="%Y-%m-%d %H:%M:%S",
+    )
+    assert df.columns == ["timestamp", "severity", "body", "node"]
+    rows = df.orderBy("timestamp").collect()
+    assert rows[0].severity == "ERROR" and rows[0].body == "disk full"
+    assert rows[0].node == "node7"
+    assert rows[0].timestamp.isoformat().startswith("2025-03-01T10:00:00")
