@@ -44,3 +44,8 @@ class PipelineConfig:
     window: str = "1 hour"
     anomaly_min_count: int = 5   # window count below this => anomaly_flag
     rare_min_count: int = 10     # global template count below this => class 'rare'
+    # routing joins the count tables back by broadcast while they stay under
+    # this many rows; above it (#windows × #templates over a very long time
+    # range) route() falls back to a co-partitioned shuffle join instead of
+    # shipping an oversized broadcast to every executor.
+    broadcast_count_limit: int = 2_000_000

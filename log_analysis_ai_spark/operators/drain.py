@@ -124,7 +124,13 @@ def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list
         )
 
     spark = df_with_keys.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 4× the configured shuffle width: a dominant template's sub-shards are
+    # the heavy keys, and hashing `salt_buckets` heavy keys into exactly
+    # #cores partitions leaves some tasks with 2-3 of them (balls-in-bins)
+    # while others idle — wider bins keep at most one heavy key per task;
+    # the extra small tasks just queue (mine-stage wall at 8 cores is set
+    # by its slowest task, not task count)
+    n_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     mined = (
         df_with_keys.filter(F.col("text") != "")
         .select("conv_id", "turn_idx", "text", "shard_key", "salt")

@@ -111,6 +111,69 @@ def ann_topk(
     return cosine_topk_numpy(cand, query, k, vec_col, id_col)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means over a stable sample (the
+    first `sample_size` rows by id — reproducible across runs/parallelism,
+    unlike a random sample), initialized from the first k sample points.
+    Returns (n_lists, dim) float32 centroids. Driver-side numpy on a bounded
+    sample — the training cost is independent of corpus size."""
+    pdf = df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
+    m = np.stack(pdf[vec_col].to_numpy()).astype("float32")
+    k = min(n_lists, len(m))
+    cent = m[:k].copy()
+    for _ in range(iters):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            members = m[assign == j]
+            if len(members):
+                cent[j] = members.mean(0)
+    return cent
+
+
+def ivf_list_udf(centroids: np.ndarray):
+    """Nearest-centroid list id per vector (Arrow-batched matmul)."""
+    cent = centroids.astype("float32")
+
+    @F.pandas_udf("int")
+    def list_id(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype("float32")
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is constant per row
+        d = -2.0 * (m @ cent.T) + (cent * cent).sum(1)[None, :]
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    return list_id
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate nearest neighbor: scan only the `nprobe` inverted
+    lists nearest the query, rerank exactly. With nprobe == n_lists this
+    degrades gracefully to exact brute force (tested). The scale path: the
+    list-id column is precomputable at ingest and partition-prunable, so a
+    probe reads nprobe/n_lists of the corpus."""
+    qv = np.asarray(query, dtype="float32")
+    d = -2.0 * (centroids @ qv) + (centroids * centroids).sum(1)
+    probes = [int(i) for i in np.argsort(d)[: min(nprobe, len(centroids))]]
+    listed = df.withColumn("_list", ivf_list_udf(centroids)(F.col(vec_col)))
+    cand = listed.filter(F.col("_list").isin(probes))
+    return cosine_topk_numpy(cand, query, k, vec_col, id_col)
+
+
 def near_dup_embeddings(
     df: DataFrame,
     threshold: float = 0.95,

@@ -74,10 +74,18 @@ def route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     global_counts = window_counts.groupBy("template_id").agg(
         F.sum("window_count").alias("global_count")
     )
+    # size guard: the count tables are usually catalog-sized and broadcast
+    # (fact table never shuffles), but #windows × #templates grows with the
+    # queried time range — past the limit a broadcast would OOM executors,
+    # so fall back to a shuffle join (counting the materialized checkpoint
+    # is free). global_counts ≤ window_counts, so one check covers both.
+    small = window_counts.count() <= cfg.broadcast_count_limit
+    wjoin = F.broadcast(window_counts) if small else window_counts
+    gjoin = F.broadcast(global_counts) if small else global_counts
     n_params = F.size(F.split(F.col("template_str"), r"<\*>")) - F.lit(1)
     return (
-        df.join(F.broadcast(window_counts), ["window_start", "template_id"])
-        .join(F.broadcast(global_counts), ["template_id"])
+        df.join(wjoin, ["window_start", "template_id"])
+        .join(gjoin, ["template_id"])
         .withColumn("rarity_score", F.lit(1.0) / F.col("window_count"))
         .withColumn("anomaly_flag", F.col("window_count") < F.lit(cfg.anomaly_min_count))
         .withColumn(

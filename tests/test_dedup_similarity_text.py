@@ -110,6 +110,20 @@ def test_ann_topk_recalls_self_and_reranks(emb):
     assert {r.vec_id for r in rows} & exact  # nontrivial recall
 
 
+def test_ivf_topk_exact_when_probing_all_lists(spark, emb):
+    """IVF with nprobe == n_lists scans everything → must equal exact
+    brute-force top-k; with fewer probes it still recalls self."""
+    from log_analysis_ai_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 5).select("embedding").first()[0]]
+    cent = ivf_centroids(emb, n_lists=8, sample_size=256)
+    full = [(r.vec_id, round(r.cosine, 6)) for r in ivf_topk(emb, q, cent, k=5, nprobe=8).collect()]
+    exact = [(r.vec_id, round(r.cosine, 6)) for r in cosine_topk(emb, q, k=5).collect()]
+    assert full == exact
+    probed = ivf_topk(emb, q, cent, k=5, nprobe=2).collect()
+    assert probed[0].vec_id == 5  # self lands in the probed list
+
+
 def test_near_dup_embeddings_finds_planted(spark, emb):
     v = emb.limit(2).toPandas()
     base = np.asarray(v.embedding[0], dtype="float64")
