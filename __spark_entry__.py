@@ -303,6 +303,30 @@ def _docs_fingerprint(spark, sf_dir):
     )
 
 
+def _docs_clean_corpus(spark, sf_dir):
+    """Composed training-data pipeline: language filter → quality floor →
+    exact dedup → token stats. One oracled query demonstrating that the
+    pieces compose into the standard pretraining-cleanup shape."""
+    from log_analysis_ai_spark.functions.text import (
+        lang_id,
+        quality_score,
+        token_count_ws,
+    )
+    from log_analysis_ai_spark.operators.dedup import dedup_exact
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("lang_pred", lang_id())
+        .withColumn("quality", F.round(quality_score(), 4))
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    )
+    return (
+        dedup_exact(d)
+        .select("doc_id", "quality", token_count_ws().alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def _emb_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -421,6 +445,46 @@ def _log4j_roundtrip(spark, sf_dir):
         .select("event_id", "level", "thread", "logger", "message")
         .orderBy("event_id")
     )
+
+
+def _csv_dimensions_roundtrip(spark, sf_dir):
+    """Synthesize a CSV from events, parse it back through the positional
+    dimensions contract (reference: src/csv_parser.cpp:83-97) — the oracle
+    computes the same fields from the events table directly."""
+    import os
+    import tempfile
+
+    from log_analysis_ai_spark.sources import read_csv_dimensions
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.when(F.col("event_type") == "error", "ERROR").otherwise("INFO"),
+            F.concat(F.lit("event "), "event_type", F.lit(" id "), F.col("event_id").cast("string")),
+            F.concat(F.lit("node"), F.pmod("user_id", F.lit(8)).cast("string")),
+        ).alias("value")
+    )
+    path = os.path.join(tempfile.gettempdir(), f"csv_rt_{abs(hash(sf_dir)) % 10**8}")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    df = read_csv_dimensions(
+        spark, path,
+        dimensions=["timestamp", "severity", "body", "node"],
+        datetime_format="%Y-%m-%d %H:%M:%S",
+    )
+    return df.orderBy("body")
+
+
+def _emb_ivf_topk(spark, sf_dir):
+    """IVF ANN (rows-only): k-means lists + nprobe probing, exact rerank."""
+    from log_analysis_ai_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cent = ivf_centroids(emb, n_lists=8, sample_size=256)
+    out = ivf_topk(emb, q, cent, k=10, nprobe=8)  # all lists -> exact
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def _events_error_context(spark, sf_dir):
@@ -562,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": _docs_quality,
         "docs_langid": _docs_langid,
         "docs_fingerprint": _docs_fingerprint,
+        "docs_clean_corpus": _docs_clean_corpus,
         "emb_topk": _emb_topk,
         "syslog_roundtrip": _syslog_roundtrip,
         "logfmt_roundtrip": _logfmt_roundtrip,
@@ -570,11 +635,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": _orders_cube,
         "cef_roundtrip": _cef_roundtrip,
         "log4j_roundtrip": _log4j_roundtrip,
+        "csv_dimensions_roundtrip": _csv_dimensions_roundtrip,
         # rows-only (no SQL oracle):
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
         "emb_near_dups": _emb_near_dups,
         "emb_ann_topk": _emb_ann_topk,
+        "emb_ivf_topk": _emb_ivf_topk,
         "pipeline_template_counts": _pipeline_template_counts,
         "pipeline_sink_counts": _pipeline_sink_counts,
         "pipeline_agg_template_tool": _pipeline_agg_template_tool,
@@ -764,6 +831,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id
         """,
+        "docs_clean_corpus": f"""
+            WITH scored AS (
+              SELECT doc_id, text,
+                     {_langid_sql_expr()} AS lang_pred,
+                     round(
+                       0.4 * (CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+                       + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / greatest(length(text), 1))
+                       + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / greatest(length(text), 1)),
+                       4) AS quality
+              FROM documents),
+            filtered AS (
+              SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5),
+            deduped AS (
+              SELECT doc_id, quality, text,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM filtered)
+            SELECT doc_id, quality, len(string_split(text, ' ')) AS n_tokens
+            FROM deduped WHERE rn = 1 ORDER BY doc_id
+        """,
         "emb_topk": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
@@ -812,6 +898,13 @@ def oracle_sql() -> dict[str, str]:
                    '10.0.0.' || CAST(user_id % 250 AS VARCHAR) AS src,
                    user_id AS uid
             FROM events ORDER BY event_id
+        """,
+        "csv_dimensions_roundtrip": """
+            SELECT date_trunc('second', ts) AS timestamp,
+                   CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS severity,
+                   'event ' || event_type || ' id ' || CAST(event_id AS VARCHAR) AS body,
+                   'node' || CAST(user_id % 8 AS VARCHAR) AS node
+            FROM events ORDER BY body
         """,
         "log4j_roundtrip": """
             SELECT event_id, 'WARN' AS level,
