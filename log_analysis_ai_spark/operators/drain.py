@@ -101,6 +101,16 @@ def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list
     partition runs the sequential miner per sub-shard in canonical
     (conv_id, turn_idx) order. Preprocess vectorizes once per partition.
 
+    Optional duplicate collapse BEFORE the wire (cfg.collapse_duplicate_
+    lines): the miner's unique-line shortcut means only the FIRST occurrence
+    of each distinct (shard, salt, text) participates, and the sequence of
+    first occurrences in canonical order is exactly "distinct lines ordered
+    by their first (conv_id, turn_idx)". GroupBy-ing on the line itself with
+    a min-struct collapses repeats map-side so the shuffle ships one row per
+    DISTINCT line — the right shape for duplicate-heavy production logs; an
+    extra aggregation stage that doesn't pay for itself on mostly-unique
+    parameterized corpora (hence the config default).
+
     Returns {shard_key_str: [template token list, ...]} (creation order)."""
     sim = cfg.sim_threshold
     pats = tuple(cfg.preprocess_patterns)
@@ -131,10 +141,17 @@ def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list
     # the extra small tasks just queue (mine-stage wall at 8 cores is set
     # by its slowest task, not task count)
     n_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lines = df_with_keys.filter(F.col("text") != "").select(
+        "conv_id", "turn_idx", "text", "shard_key", "salt"
+    )
+    if cfg.collapse_duplicate_lines:
+        lines = (
+            lines.groupBy("shard_key", "salt", "text")
+            .agg(F.min(F.struct("conv_id", "turn_idx")).alias("_first"))
+            .select("shard_key", "salt", "text", "_first.conv_id", "_first.turn_idx")
+        )
     mined = (
-        df_with_keys.filter(F.col("text") != "")
-        .select("conv_id", "turn_idx", "text", "shard_key", "salt")
-        .repartition(n_parts, "shard_key", "salt")
+        lines.repartition(n_parts, "shard_key", "salt")
         .mapInPandas(mine_parts, schema="shard_key string, salt int, pos int, template string")
         # cross-salt dedup BEFORE the driver collect: identical masked forms
         # from different sub-shards collapse to their earliest (salt, pos) —

@@ -127,3 +127,24 @@ def test_config_change_invalidates_checkpoint(spark, frames, tmp_path):
     # different fingerprint -> stages recomputed (2 committed rows per stage)
     assert sum(r["stage"] == "turns_parsed" for r in store.lineage_rows()) == 2
     assert out["sink_counts"].count() > 0
+
+
+def test_collapse_duplicate_lines_identical_results(spark, frames):
+    """cfg.collapse_duplicate_lines must not change ANY output: the miner's
+    unique-line shortcut already ignores repeats, and first-occurrence order
+    is preserved by the min-struct, so catalogs, assignments and sink counts
+    are bit-identical with the collapse on or off."""
+    t, tool_l, role_l = frames
+    # duplicate-heavy variant: triple every row under fresh conv ids
+    dup = t.unionByName(t.withColumn("conv_id", F.concat(F.lit("zz-"), "conv_id"))).unionByName(
+        t.withColumn("conv_id", F.concat(F.lit("zzz-"), "conv_id"))
+    )
+    a = run_pipeline(dup, tool_l, role_l, PipelineConfig(collapse_duplicate_lines=False), persist_keyed=False)
+    b = run_pipeline(dup, tool_l, role_l, PipelineConfig(collapse_duplicate_lines=True), persist_keyed=False)
+    assert _sink_counts(a) == _sink_counts(b)
+    ta = {(r.template_id, r.template_str) for r in a["templates"].collect()}
+    tb = {(r.template_id, r.template_str) for r in b["templates"].collect()}
+    assert ta == tb
+    ra = a["turns_parsed"].select("conv_id", "turn_idx", "template_id")
+    rb = b["turns_parsed"].select("conv_id", "turn_idx", "template_id")
+    assert ra.exceptAll(rb).count() == 0 and rb.exceptAll(ra).count() == 0
