@@ -115,3 +115,70 @@ def test_params_extracted(spark_out):
     for r in rows:
         uid = r.text.split(" ")[1]
         assert r.params == {"param_1": uid}
+
+
+def test_connected_components_union_find_parity(spark):
+    """Random-graph parity: the distributed min-label propagation must equal
+    a classic python union-find on the same edges (min member id per
+    component), across several seeded graphs including self-loops."""
+    import random
+
+    from log_analysis_ai_spark.operators.dedup import connected_components
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        nodes = sorted({v for e in edges for v in e})
+        comp_min: dict[int, int] = {}
+        for v in nodes:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[find(v)] for v in nodes}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.label for r in connected_components(df).collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_pipeline_empty_table_and_edge_texts(spark, lookups_pdf):
+    """Verify-skill probes: an all-empty input table is a no-op (no crash,
+    zero sinks); empty text routes to <EMPTY>; double space stays two
+    tokens; unicode text survives byte-equal."""
+    from log_analysis_ai_spark import drain_core as dc
+
+    tool_l, role_l = lookups_pdf
+    tl, rl = spark.createDataFrame(tool_l), spark.createDataFrame(role_l)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    empty = spark.createDataFrame([], schema)
+    out = run_pipeline(empty, tl, rl, CFG, persist_keyed=False)
+    assert out["sink_counts"].count() == 0
+    assert out["turns_parsed"].count() == 0
+
+    from datetime import datetime
+
+    ts = datetime(2025, 1, 1, 10, 0, 0)
+    rows = [
+        ("c1", 0, "user", "", "none", ts),
+        ("c1", 1, "user", "héllo wörld 42 ünïcode ok", "none", ts),
+        ("c2", 0, "user", "a  b", "none", ts),
+        ("c2", 1, "user", "a  b", "none", ts),
+    ]
+    out2 = run_pipeline(spark.createDataFrame(rows, schema), tl, rl, CFG, persist_keyed=False)
+    got = {(r.conv_id, r.turn_idx): (r.text, r.template_str) for r in out2["turns_parsed"].collect()}
+    assert got[("c1", 0)] == ("", dc.EMPTY_TEMPLATE)
+    # unicode text byte-equal; the numeric token pre-masks
+    assert got[("c1", 1)][0] == "héllo wörld 42 ünïcode ok"
+    assert got[("c1", 1)][1] == "héllo wörld <*> ünïcode ok"
+    # "a  b" is THREE tokens (a, empty, b) — folly::split semantics preserved
+    assert got[("c2", 0)] == ("a  b", "a  b") and got[("c2", 1)] == ("a  b", "a  b")
