@@ -795,9 +795,14 @@ def oracle_sql() -> dict[str, str]:
                      substr(text, greatest(length(text) - 11, 1)) AS sk
               FROM documents
             ), edges AS (
-              SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY pk) AS dst FROM keyed
+              -- NULL keys carry no blocking value: they produce no edges
+              -- (matches dedup_groups_by_keys; a window PARTITION BY would
+              -- wrongly group all NULL-text docs together)
+              SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY pk) AS dst
+              FROM keyed WHERE pk IS NOT NULL
               UNION
-              SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY sk) AS dst FROM keyed
+              SELECT doc_id AS src, min(doc_id) OVER (PARTITION BY sk) AS dst
+              FROM keyed WHERE sk IS NOT NULL
             ), bidir AS (
               SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
             ), reach(node, r) AS (

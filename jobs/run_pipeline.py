@@ -21,7 +21,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--transcripts", default=None)
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--salt-buckets", type=int, default=4)
+    # default None: only override PipelineConfig.salt_buckets when the flag
+    # is explicitly passed (a hardcoded CLI default of 4 silently reinstated
+    # the mine-stage parallelism starvation the config default 16 fixes)
+    ap.add_argument("--salt-buckets", type=int, default=None)
     ap.add_argument("--fixture-convs", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -33,7 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     from log_analysis_ai_spark.session import get_spark
 
     spark = get_spark(app_name="run_pipeline", master=args.master)
-    cfg = PipelineConfig(salt_buckets=args.salt_buckets)
+    cfg = (
+        PipelineConfig(salt_buckets=args.salt_buckets)
+        if args.salt_buckets is not None
+        else PipelineConfig()
+    )
     if args.fixture_convs:
         transcripts = spark.createDataFrame(gen_transcripts(args.fixture_convs))
         desc = f"fixtures:{args.fixture_convs}"

@@ -53,6 +53,14 @@ class PipelineConfig:
     # it's off by default for mostly-unique corpora like parameterized
     # transcripts.
     collapse_duplicate_lines: bool = False
+    # Columns dropped from the routed fanout (and its aggregates) before the
+    # route joins and the partitioned write. Both defaults are recomputable
+    # per row from (text, template_str): params via wildcard-position
+    # extraction, detected_ts via the parse regex. At 10^12 turns the params
+    # map alone is the widest column in the routed shuffle/write; dropping
+    # it cuts bytes/turn without losing information (turns_parsed keeps the
+    # full schema).
+    routed_drop_cols: tuple[str, ...] = ("params", "detected_ts")
     # routing joins the count tables back by broadcast while they stay under
     # this many rows; above it (#windows × #templates over a very long time
     # range) route() falls back to a co-partitioned shuffle join instead of

@@ -69,11 +69,21 @@ def run_checkpointed(
     # directory values always read back as strings, so partitioning on the
     # boolean column directly would silently retype it on read.
     if not (resume and store.committed("routed", fp)):
-        routed = route(enrich(turns_parsed, tool_lookup, role_lookup), cfg)
+        # slim the fanout: cfg.routed_drop_cols (params map, detected_ts) are
+        # recomputable from (text, template_str) — dropping them here column-
+        # prunes the turns_parsed scan AND shrinks the routed write
+        route_caches: list = []
+        routed = route(
+            enrich(turns_parsed.drop(*cfg.routed_drop_cols), tool_lookup, role_lookup),
+            cfg,
+            caches=route_caches,
+        )
         routed = routed.withColumn("pt_class", F.col("template_class")).withColumn(
             "pt_anomaly", F.col("anomaly_flag").cast("string")
         )
         store.write_table(routed, "routed", fp, partition_by=["pt_class", "pt_anomaly"])
+        for c in route_caches:
+            c.unpersist()
     routed = store.read_table(spark, "routed").drop("pt_class", "pt_anomaly")
 
     # stage 3: aggregates

@@ -199,17 +199,23 @@ def minhash_near_dups(
 def connected_components(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
 ) -> DataFrame:
-    """Distributed connected components by iterative min-label propagation.
+    """Distributed connected components: min-label propagation with
+    pointer jumping.
 
     Returns (node, label) with label = the smallest node id reachable from
-    `node` — the canonical-keeper rule for dedup groups. Converges in
-    O(component diameter) rounds (near-dup groups are shallow: star edges
-    give diameter ≤ 2 per key, a few rounds total). Each round is one
-    co-partitioned join + groupBy over the EDGE table — for near-dup
-    pipelines pairs ≪ docs, so the loop moves candidate-pair-scale data,
-    never the corpus. `localCheckpoint` truncates the iterative lineage
-    (the classic Spark pitfall: an unbounded plan tree that re-executes
-    every prior round)."""
+    `node` — the canonical-keeper rule for dedup groups. Each round first
+    takes the min label over neighbors, then JUMPS (label := label(label)),
+    which doubles the propagation distance per round — O(log diameter)
+    rounds instead of O(diameter). Every round moves EDGE-table-scale data
+    only — for near-dup pipelines pairs ≪ docs, so the loop never touches
+    the corpus. `localCheckpoint` truncates the iterative lineage (the
+    classic Spark pitfall: an unbounded plan tree that re-executes every
+    prior round).
+
+    Raises RuntimeError if the fixpoint is not reached within `max_iter`
+    rounds (with jumping that needs component diameter > 2^max_iter —
+    never in practice; silently returning non-converged labels would be a
+    wrong answer with no signal)."""
     e = pairs.select(F.col(src).cast("long").alias("e_a"), F.col(dst).cast("long").alias("e_b"))
     edges = e.union(e.select(F.col("e_b").alias("e_a"), F.col("e_a").alias("e_b"))).distinct()
     edges = edges.localCheckpoint(eager=True)
@@ -217,6 +223,7 @@ def connected_components(
         "label", F.col("node")
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.e_b == labels.node)
@@ -227,12 +234,25 @@ def connected_components(
         labels = labels.join(nbr, "node", "left").select(
             "node", F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label")
         )
+        # pointer jumping: label := label(label). Every label value is a
+        # node id present in `labels` (labels start as self and only ever
+        # take other nodes' ids), so the inner self-join loses no rows.
+        jump = labels.select(F.col("node").alias("_jn"), F.col("label").alias("_jl"))
+        labels = labels.join(jump, labels.label == jump._jn).select(
+            "node", F.least("label", "_jl").alias("label")
+        )
         labels = labels.localCheckpoint(eager=True)
         # labels decrease monotonically, so an unchanged sum == fixpoint
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — raise max_iter (pointer jumping needs ~log2(diameter) rounds)"
+        )
     return labels
 
 
@@ -244,10 +264,18 @@ def dedup_groups_by_keys(df: DataFrame, keys: list, id_col: str = "doc_id") -> D
     closure merges chains across keys. Returns (id_col, group_id, keep)
     where group_id = min doc id of the component and keep marks the
     canonical survivor. The per-key edge build is groupBy-min + a
-    co-partitioned join back on the key — no broadcast of doc-sized data."""
+    co-partitioned join back on the key — no broadcast of doc-sized data.
+
+    NULL key values produce NO edges (NULL is "no blocking value", not a
+    shared value — two null-text docs are not duplicates of each other). A
+    doc whose every key is NULL therefore surfaces as its own singleton
+    group (keep=true) via the final left join, which also guarantees every
+    input doc appears exactly once in the output."""
     edge_frames = []
     for k in keys:
-        keyed = df.select(F.col(id_col).alias("_id"), k.alias("_k"))
+        keyed = df.select(F.col(id_col).alias("_id"), k.alias("_k")).filter(
+            F.col("_k").isNotNull()
+        )
         mins = keyed.groupBy("_k").agg(F.min("_id").alias("_root"))
         edge_frames.append(
             keyed.join(mins, "_k").select(
@@ -258,10 +286,14 @@ def dedup_groups_by_keys(df: DataFrame, keys: list, id_col: str = "doc_id") -> D
     for extra in edge_frames[1:]:
         edges = edges.union(extra)
     labels = connected_components(edges)
-    return labels.select(
-        F.col("node").alias(id_col),
-        F.col("label").alias("group_id"),
-        (F.col("node") == F.col("label")).alias("keep"),
+    all_ids = df.select(F.col(id_col).cast("long").alias("node")).distinct()
+    return (
+        all_ids.join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", "node").alias("group_id"),
+            (F.col("node") == F.coalesce("label", "node")).alias("keep"),
+        )
     )
 
 

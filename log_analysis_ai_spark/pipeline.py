@@ -50,7 +50,7 @@ def enrich(df: DataFrame, tool_lookup: DataFrame, role_lookup: DataFrame) -> Dat
     )
 
 
-def route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def route(df: DataFrame, cfg: PipelineConfig, caches: list | None = None) -> DataFrame:
     """Frequency-based rarity scoring over event-time windows + sink keys.
 
     Counts are computed as partial-aggregated groupBys and broadcast-joined
@@ -60,7 +60,16 @@ def route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     bounded by (#windows × #templates) ≪ rows — catalog-sized, so the
     explicit broadcast hint keeps the fact table unshuffled end-to-end.
     anomaly_flag = window count below threshold; template_class from
-    param-count + global frequency (FIXTURES.md §4 sink key space)."""
+    param-count + global frequency (FIXTURES.md §4 sink key space).
+
+    EAGER: this function runs one Spark action at plan-build time (the
+    count that materializes the persisted count table and sizes the
+    broadcast guard). The cache is persist(MEMORY_AND_DISK), NOT
+    localCheckpoint — persisted blocks keep their lineage, so an executor
+    loss/decommission mid-job recomputes instead of failing (the property
+    that matters at 1000-executor scale). If `caches` is given, the persisted
+    handle is appended to it for the caller to unpersist after
+    materializing downstream tables (run_pipeline/job.py do)."""
     df = df.withColumn("window_start", F.date_trunc("hour", F.col("ts")))
     # ONE scan of the fact table builds the window counts; materializing the
     # (windows × templates)-sized result lets both broadcast joins AND the
@@ -69,16 +78,19 @@ def route(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     window_counts = (
         df.groupBy("window_start", "template_id")
         .agg(F.count(F.lit(1)).alias("window_count"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    if caches is not None:
+        caches.append(window_counts)
     global_counts = window_counts.groupBy("template_id").agg(
         F.sum("window_count").alias("global_count")
     )
     # size guard: the count tables are usually catalog-sized and broadcast
     # (fact table never shuffles), but #windows × #templates grows with the
     # queried time range — past the limit a broadcast would OOM executors,
-    # so fall back to a shuffle join (counting the materialized checkpoint
-    # is free). global_counts ≤ window_counts, so one check covers both.
+    # so fall back to a shuffle join (this count also materializes the
+    # persisted cache). global_counts ≤ window_counts, so one check covers
+    # both.
     small = window_counts.count() <= cfg.broadcast_count_limit
     wjoin = F.broadcast(window_counts) if small else window_counts
     gjoin = F.broadcast(global_counts) if small else global_counts
@@ -118,8 +130,17 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     persist_keyed: bool = True,
 ) -> dict[str, DataFrame]:
-    """Build the full lazy plan; returns all derived tables (no actions
-    besides pass-1 mining's catalog collect).
+    """Build the pipeline plan; returns all derived tables.
+
+    Actions at build time: pass-1 mining's catalog collect, plus route()'s
+    count-table materialization (persist + count for the broadcast guard —
+    see route's docstring). Everything else stays lazy.
+
+    `routed` (and its aggregates) drop `cfg.routed_drop_cols` — by default
+    the per-row `params` map and `detected_ts`, both recomputable from
+    (text, template_str) — so the route joins and the routed fanout write
+    ship materially fewer bytes per turn; `turns_parsed` keeps the full
+    schema.
 
     When `persist_keyed` is True the dict includes `_keyed_cache`: the
     persisted shard-keyed DataFrame shared by both mining passes. Callers
@@ -127,18 +148,23 @@ def run_pipeline(
     materialized (job.py's checkpointed path does) — otherwise each call
     leaks one cached DataFrame in a long-lived session. Pass
     persist_keyed=False for one-shot small inputs to skip the cache
-    entirely (pass 2 then recomputes shard keys once)."""
+    entirely (pass 2 then recomputes shard keys once). The dict always
+    includes `_route_caches`: route()'s persisted count table(s), to
+    unpersist under the same contract (small — (#windows × #templates)
+    rows — so the leak is mild, but still a leak)."""
     cfg = cfg or PipelineConfig()
     parsed = parse(transcripts)
     assigned, templates, keyed = mine_and_assign(parsed, cfg, persist=persist_keyed)
-    enriched = enrich(assigned, tool_lookup, role_lookup)
-    routed = route(enriched, cfg)
+    enriched = enrich(assigned.drop(*cfg.routed_drop_cols), tool_lookup, role_lookup)
+    route_caches: list = []
+    routed = route(enriched, cfg, caches=route_caches)
     out = {
         "turns_parsed": assigned,
         "templates": templates,
         "routed": routed,
         "agg_template_tool": aggregate(routed),
         "sink_counts": sink_counts(routed),
+        "_route_caches": route_caches,
     }
     if persist_keyed:
         out["_keyed_cache"] = keyed

@@ -184,6 +184,44 @@ def test_dedup_groups_by_keys_merges_across_keys(spark):
     assert got == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
 
 
+def test_dedup_groups_null_keys_become_singletons(spark):
+    """NULL blocking keys carry no blocking value: null-text docs must
+    surface as their own singleton keep=true groups, not vanish (ADVICE r2)
+    and not merge with each other (a window PARTITION BY would)."""
+    from log_analysis_ai_spark.operators.dedup import dedup_groups_by_keys
+
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIXAAA middle one ENDX"),
+            (2, "PREFIXAAA middle two ENDY"),
+            (5, None),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    keys = [F.expr("substring(text, 1, 9)"), F.expr("substring(text, length(text) - 3, 4)")]
+    got = {r.doc_id: (r.group_id, r.keep) for r in dedup_groups_by_keys(df, keys).collect()}
+    assert got == {1: (1, True), 2: (1, False), 5: (5, True), 6: (6, True)}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Exhausting max_iter without reaching the fixpoint must raise, never
+    silently return wrong labels (ADVICE r2). A 12-node chain cannot finish
+    in one propagation+jump round."""
+    import pytest
+
+    from log_analysis_ai_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    # and with jumping it DOES converge in O(log n) rounds
+    got = {r.node: r.label for r in connected_components(chain, max_iter=6).collect()}
+    assert set(got.values()) == {0}
+
+
 def test_hot_bucket_guard_keeps_candidates_linear(spark):
     """Adversarial skew fixture: 1,000 near-identical docs all but collide in
     every LSH band. Unguarded, the self-join yields ~n²/2 ≈ 500k candidate
