@@ -466,7 +466,10 @@ def _csv_dimensions_roundtrip(spark, sf_dir):
             F.concat(F.lit("node"), F.pmod("user_id", F.lit(8)).cast("string")),
         ).alias("value")
     )
-    path = os.path.join(tempfile.gettempdir(), f"csv_rt_{abs(hash(sf_dir)) % 10**8}")
+    from log_analysis_ai_spark.hashing import xxh64
+
+    # deterministic temp path (python's hash() is salted per process)
+    path = os.path.join(tempfile.gettempdir(), f"csv_rt_{xxh64(sf_dir) & 0xFFFFFFFF:08x}")
     lines.coalesce(1).write.mode("overwrite").text(path)
     df = read_csv_dimensions(
         spark, path,
@@ -477,13 +480,40 @@ def _csv_dimensions_roundtrip(spark, sf_dir):
 
 
 def _emb_ivf_topk(spark, sf_dir):
-    """IVF ANN (rows-only): k-means lists + nprobe probing, exact rerank."""
+    """IVF ANN: k-means lists + nprobe probing, exact rerank. At
+    nprobe == n_lists this IS exact brute force, so the emb_topk DuckDB
+    oracle applies verbatim (hash-checked)."""
     from log_analysis_ai_spark.operators.similarity import ivf_centroids, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     cent = ivf_centroids(emb, n_lists=8, sample_size=256)
     out = ivf_topk(emb, q, cent, k=10, nprobe=8)  # all lists -> exact
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _emb_ivf_indexed_topk(spark, sf_dir):
+    """IVF over a PERSISTED index: list ids computed once at ingest
+    (build_ivf_index, partitioned by _list), probes prune partitions at the
+    scan. nprobe == n_lists -> exact, so the emb_topk oracle applies."""
+    import os
+    import tempfile
+
+    from log_analysis_ai_spark.hashing import xxh64
+    from log_analysis_ai_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        ivf_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cent = ivf_centroids(emb, n_lists=8, sample_size=256)
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_idx_{xxh64(sf_dir) & 0xFFFFFFFF:08x}"
+    )
+    build_ivf_index(emb, cent, path)
+    out = ivf_topk_indexed(spark, path, q, cent, k=10, nprobe=8)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -636,12 +666,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cef_roundtrip": _cef_roundtrip,
         "log4j_roundtrip": _log4j_roundtrip,
         "csv_dimensions_roundtrip": _csv_dimensions_roundtrip,
+        "emb_ivf_topk": _emb_ivf_topk,
+        "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
         # rows-only (no SQL oracle):
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
         "emb_near_dups": _emb_near_dups,
         "emb_ann_topk": _emb_ann_topk,
-        "emb_ivf_topk": _emb_ivf_topk,
         "pipeline_template_counts": _pipeline_template_counts,
         "pipeline_sink_counts": _pipeline_sink_counts,
         "pipeline_agg_template_tool": _pipeline_agg_template_tool,
@@ -856,6 +887,20 @@ def oracle_sql() -> dict[str, str]:
             FROM deduped WHERE rn = 1 ORDER BY doc_id
         """,
         "emb_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        # IVF at nprobe == n_lists degrades to exact brute force, so the
+        # brute-force oracle applies verbatim to both IVF variants.
+        "emb_ivf_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "emb_ivf_indexed_topk": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q

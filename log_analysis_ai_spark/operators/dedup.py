@@ -72,15 +72,35 @@ def minhash_signature(shingles, k: int = 64):
     )
 
 
-def guard_hot_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+def guard_hot_buckets(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    report: dict | None = None,
+) -> DataFrame:
     """Drop LSH buckets larger than `max_bucket_size` before a self-join.
 
     One degenerate bucket (boilerplate shingles, all-zero SimHash chunks
     from short docs) otherwise produces |bucket|² candidate pairs — the
     classic skew blowup at 100 TB. The size table shuffles on the same keys
     as the subsequent self-join, so the guard adds no extra fact-table
-    shuffle. Use `hot_bucket_report` for drop accounting."""
+    shuffle.
+
+    No silent caps: `max_bucket_size=None` (the operators' default) means
+    NO guard — full recall semantics. When a cap is set, pass a `report`
+    dict and the guard stores `report["dropped_buckets"]` — a lazy
+    (keys..., bucket_size) DataFrame of exactly the buckets the cap
+    excluded — so callers can count/log/persist what was dropped."""
+    if max_bucket_size is None:
+        if report is not None:
+            report["dropped_buckets"] = None
+        return banded
     sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    if report is not None:
+        report["dropped_buckets"] = (
+            sizes.filter(F.col("_bn") > max_bucket_size)
+            .withColumnRenamed("_bn", "bucket_size")
+        )
     return banded.join(sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"), keys)
 
 
@@ -133,16 +153,22 @@ def minhash_candidates(
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    max_bucket_size: int = 2000,
+    max_bucket_size: int | None = None,
+    report: dict | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
-    Buckets above `max_bucket_size` are dropped before the self-join (skew
-    guard — candidate counts stay linear under adversarial near-identical
-    corpora). Returns (id_a, id_b) with id_a < id_b, distinct."""
+    Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Default is UNGUARDED (full LSH recall). At scale, set
+    `max_bucket_size` to drop degenerate buckets before the self-join
+    (skew guard — candidate counts stay linear under adversarial
+    near-identical corpora) and pass `report` to account for what the cap
+    excluded (see guard_hot_buckets — no silent caps)."""
     banded = guard_hot_buckets(
         minhash_banded(df, text_col, id_col, k, bands, shingle_n),
         ["band", "bucket"],
         max_bucket_size,
+        report,
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -187,10 +213,15 @@ def minhash_near_dups(
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    max_bucket_size: int = 2000,
+    max_bucket_size: int | None = None,
+    report: dict | None = None,
 ) -> DataFrame:
-    """MinHash LSH candidates verified by exact Jaccard >= threshold."""
-    cand = minhash_candidates(df, text_col, id_col, k, bands, shingle_n, max_bucket_size)
+    """MinHash LSH candidates verified by exact Jaccard >= threshold.
+    Unguarded by default; see minhash_candidates for the skew-cap +
+    accounting contract."""
+    cand = minhash_candidates(
+        df, text_col, id_col, k, bands, shingle_n, max_bucket_size, report
+    )
     return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
@@ -346,13 +377,19 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket_size: int = 2000,
+    max_bucket_size: int | None = None,
+    report: dict | None = None,
 ) -> DataFrame:
     """Near-dups by SimHash Hamming distance: band the 64-bit signature into
     4×16-bit chunks (any Hamming-≤3 pair shares at least one chunk by
-    pigeonhole), bucket-join, verify with bit_count(xor). Chunks shared by
-    more than `max_bucket_size` docs are dropped before the self-join (skew
-    guard — e.g. the all-zero chunk that every very short doc hashes to)."""
+    pigeonhole), bucket-join, verify with bit_count(xor).
+
+    Default is UNGUARDED, which preserves the pigeonhole COMPLETENESS
+    guarantee (every Hamming-≤3 pair is found). Setting `max_bucket_size`
+    trades completeness for skew protection — e.g. the all-zero chunk every
+    very short doc hashes to would otherwise cost |bucket|² verification
+    pairs; pairs whose only shared chunk is a dropped hot one are then
+    missed. Pass `report` to account for dropped buckets (no silent caps)."""
     sh = simhash_docs(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
     banded = sh.select(
         "_id",
@@ -369,7 +406,7 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("_id", "simhash", "bb.band", "bb.chunk")
-    banded = guard_hot_buckets(banded, ["band", "chunk"], max_bucket_size)
+    banded = guard_hot_buckets(banded, ["band", "chunk"], max_bucket_size, report)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -51,12 +51,16 @@ def cosine_topk_numpy(
     df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """Throughput variant: one matmul per Arrow batch, per-partition top-k."""
-    qv = np.asarray(query, dtype="float32")
+    qv = np.asarray(query, dtype="float64")
     qn = np.linalg.norm(qv)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            m = np.stack(pdf[vec_col].to_numpy())
+            # float64 matmul: float32 ulps can flip a rounded-to-4-decimals
+            # cosine at a boundary, breaking oracle parity with engines that
+            # compute in double (the ~2× batch cost is irrelevant next to
+            # Arrow transfer)
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             norms = np.linalg.norm(m, axis=1) * qn
             cos = (m @ qv) / np.where(norms == 0, 1.0, norms)
             ids = pdf[id_col].to_numpy()
@@ -174,6 +178,48 @@ def ivf_topk(
     return cosine_topk_numpy(cand, query, k, vec_col, id_col)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index: (id, vector) parquet PARTITIONED BY the
+    coarse list id. This is the ingest-time half of IVF — the list
+    assignment is computed ONCE here, so a probe (`ivf_topk_indexed`) reads
+    only nprobe/n_lists of the corpus via partition pruning instead of
+    re-scoring every vector per query (the r2 weak spot: per-query list
+    recompute)."""
+    listed = df.select(id_col, vec_col).withColumn(
+        "_list", ivf_list_udf(centroids)(F.col(vec_col))
+    )
+    listed.write.mode("overwrite").partitionBy("_list").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe over a persisted index (build_ivf_index): filter on the
+    `_list` partition column prunes unprobed lists AT THE FILE LISTING
+    level — the scan touches nprobe/n_lists of the data (plan-asserted in
+    tests via PartitionFilters). With nprobe == n_lists the result is exact
+    brute force."""
+    qv = np.asarray(query, dtype="float32")
+    d = -2.0 * (centroids @ qv) + (centroids * centroids).sum(1)
+    probes = [int(i) for i in np.argsort(d)[: min(nprobe, len(centroids))]]
+    idx = spark.read.parquet(index_path)
+    cand = idx.filter(F.col("_list").isin(probes))
+    return cosine_topk_numpy(cand, query, k, vec_col, id_col)
+
+
 def near_dup_embeddings(
     df: DataFrame,
     threshold: float = 0.95,
@@ -182,14 +228,16 @@ def near_dup_embeddings(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
-    max_bucket_size: int = 2000,
+    max_bucket_size: int | None = None,
+    report: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-bucket join, exact
     cosine verification inside buckets (id_a < id_b). Pass `dim` to avoid
     the driver-side probe job that otherwise infers it from the first row.
-    Buckets above `max_bucket_size` are dropped before the self-join (skew
-    guard: a degenerate hyperplane bucket — e.g. many zero/duplicate
-    vectors — would otherwise cost |bucket|² verification pairs)."""
+    Unguarded by default; at scale set `max_bucket_size` to drop degenerate
+    hyperplane buckets (e.g. many zero/duplicate vectors — |bucket|²
+    verification pairs otherwise) and pass `report` for drop accounting
+    (guard_hot_buckets — no silent caps)."""
     from .dedup import guard_hot_buckets
 
     if dim is None:
@@ -197,7 +245,7 @@ def near_dup_embeddings(
     b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
         "_bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col("_v"))
     )
-    b = guard_hot_buckets(b, ["_bucket"], max_bucket_size)
+    b = guard_hot_buckets(b, ["_bucket"], max_bucket_size, report)
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r, (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id"))

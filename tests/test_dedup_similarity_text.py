@@ -124,6 +124,31 @@ def test_ivf_topk_exact_when_probing_all_lists(spark, emb):
     assert probed[0].vec_id == 5  # self lands in the probed list
 
 
+def test_ivf_indexed_prunes_partitions_and_is_exact(spark, emb, tmp_path):
+    """The persisted IVF index must (a) equal exact brute force at
+    nprobe == n_lists and (b) push the probe filter into PartitionFilters —
+    the scan reads nprobe/n_lists of the files, not all of them."""
+    from log_analysis_ai_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        ivf_topk_indexed,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 5).select("embedding").first()[0]]
+    cent = ivf_centroids(emb, n_lists=8, sample_size=256)
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, cent, path)
+
+    full = ivf_topk_indexed(spark, path, q, cent, k=5, nprobe=8)
+    exact = [(r.vec_id, round(r.cosine, 6)) for r in cosine_topk(emb, q, k=5).collect()]
+    assert [(r.vec_id, round(r.cosine, 6)) for r in full.collect()] == exact
+
+    probed = ivf_topk_indexed(spark, path, q, cent, k=5, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan.split("PartitionFilters", 1)[1][:200]
+    assert probed.collect()[0].vec_id == 5  # self lands in the probed list
+
+
 def test_near_dup_embeddings_finds_planted(spark, emb):
     v = emb.limit(2).toPandas()
     base = np.asarray(v.embedding[0], dtype="float64")
@@ -240,17 +265,37 @@ def test_hot_bucket_guard_keeps_candidates_linear(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     cap = 50
-    cand = minhash_candidates(df, max_bucket_size=cap)
+    report: dict = {}
+    cand = minhash_candidates(df, max_bucket_size=cap, report=report)
     n_cand = cand.count()
     # the planted unrelated near-pair survives; the 1000-clone blowup doesn't
     assert n_cand < 1000  # linear, nowhere near the ~500k unguarded pairs
     assert (2000, 2001) in {(r.id_a, r.id_b) for r in cand.collect()}
-    # drop accounting: the report names the oversized buckets
-    report = hot_bucket_report(minhash_banded(df), ["band", "bucket"], cap)
-    dropped = report.collect()
+    # drop accounting: when the guard fires, the report it filled must name
+    # exactly the oversized buckets (no silent caps)
+    dropped = report["dropped_buckets"].collect()
     assert len(dropped) >= 1 and all(r.bucket_size > cap for r in dropped)
+    # standalone report helper agrees
+    report2 = hot_bucket_report(minhash_banded(df), ["band", "bucket"], cap)
+    assert {(r.band, r.bucket) for r in report2.collect()} == {
+        (r.band, r.bucket) for r in dropped
+    }
     print(f"hot-bucket guard dropped {len(dropped)} buckets "
           f"(max size {max(r.bucket_size for r in dropped)})")
+
+
+def test_unguarded_default_has_full_recall(spark):
+    """Default (max_bucket_size=None) must NOT cap: pairs whose only shared
+    bucket is a hot one are still found — the completeness semantics the
+    guard knowingly trades away (ADVICE r2)."""
+    from log_analysis_ai_spark.operators.dedup import minhash_near_dups
+
+    base = "session opened for user admin from host10 port 22 via ssh protocol two"
+    df = spark.createDataFrame(
+        [(i, base) for i in range(60)], "doc_id long, text string"
+    )
+    pairs = minhash_near_dups(df, threshold=0.99)
+    assert pairs.count() == 60 * 59 // 2  # every clone pair found
 
 
 def test_simhash_guard_drops_clone_bucket(spark):
@@ -261,10 +306,12 @@ def test_simhash_guard_drops_clone_bucket(spark):
         (901, "some other sentence entirely"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = simhash_near_dups(df, max_hamming=0, max_bucket_size=50).collect()
+    report: dict = {}
+    pairs = simhash_near_dups(df, max_hamming=0, max_bucket_size=50, report=report).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert (900, 901) in got
     assert len(got) < 300 * 299 // 2  # clone blowup suppressed
+    assert report["dropped_buckets"].count() >= 1  # and the drop is accounted
 
 
 def test_text_stats(docs):
