@@ -115,10 +115,37 @@ def main() -> int:
                 "sf": float(sf),
                 "pipeline": pipe,
                 "cpus": cpus,
+                **_deltas_vs_prev(times),
             }
         )
     )
     return 0
+
+
+def _deltas_vs_prev(times: dict[str, float]) -> dict:
+    """Per-query second-over-second deltas vs the latest recorded round
+    (BENCH_r{N}.json) so regressions are self-reporting in every run."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            prev = json.load(f).get("parsed", {}).get("queries", {})
+    except Exception:
+        return {}
+    deltas = {
+        k: round(v - prev[k], 3) for k, v in times.items() if k in prev
+    }
+    return {"deltas_vs_prev": deltas, "prev_round": n}
 
 
 if __name__ == "__main__":

@@ -31,6 +31,17 @@ Determinism deviations (shared with the oracle, so equality is checkable):
   first, then every line is re-matched against the *final* catalog, so the
   assignment is a pure function of (line, catalog) and independent of
   parallelism / arrival order.
+- ``max_children`` overflow is modeled ONLY by the sequential ``DrainTree``
+  (below, exactly the reference's :317-332 routing). The DISTRIBUTED
+  two-pass miner (operators/drain.py) keys every distinct masked prefix to
+  its own shard and does NOT overflow-merge: on adversarial data (one
+  prefix position with > max_children distinct non-numeric values) the
+  reference/DrainTree merges the overflow lines under one ``<*>`` child
+  while the distributed catalog keeps one template per distinct prefix.
+  Deviation chosen deliberately: overflow routing is ARRIVAL-ORDER state
+  (which child filled up first depends on scan order), so modeling it
+  distributed would reintroduce the nondeterminism two-pass mining removes.
+  Pinned by test_max_children_overflow_divergence.
 """
 
 from __future__ import annotations

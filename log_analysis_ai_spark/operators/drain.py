@@ -16,6 +16,13 @@ result is bit-identical at any parallelism level — this is what makes
 per-sink counts stable between N and 4N executors, unlike the reference's
 arrival-ordered cluster ids (reference: src/drain_parser.cpp:547).
 
+Deviation — max_children overflow: the reference routes the >Nth distinct
+child at a tree level to a shared ``<*>`` node (src/drain_parser.cpp:317-332);
+the sharded miner gives every distinct masked prefix its own shard instead
+(overflow routing is arrival-order state, incompatible with
+parallelism-invariant mining). Documented + property-pinned in
+drain_core.py / test_max_children_overflow_divergence.
+
 Scale note (100 TB): the broadcast catalog is the only driver-side state.
 Template catalogs for machine-generated logs grow with template cardinality,
 not data volume (typically 10^3–10^5 entries). If a workload ever produces a

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd over snappy: measured at 18M turns / 8 cores, e2e 199s -> 161s
+        # (+24% turns/s) and the checkpoint warehouse -38% bytes — the
+        # pipeline's data-movement stages are bandwidth-bound, so trading
+        # CPU for bytes wins on both wall time and N->4N scaling headroom
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # fanout writes: concurrent per-partition writers instead of a
         # per-task sort by partition key (sink fanout is ~6 dirs; the sort
         # of wide rows tripled the routed-stage wall time)

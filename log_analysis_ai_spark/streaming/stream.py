@@ -98,23 +98,28 @@ def stream_pipeline(
 
 
 ONLINE_OUT_SCHEMA = (
-    "conv_id string, turn_idx int, text string, template_id long, template_str string"
+    "conv_id string, turn_idx int, text string, template_id long, "
+    "template_str string, params map<string,string>, salt int"
 )
 ONLINE_STATE_SCHEMA = "catalog array<string>"
 
 
 def online_miner_fn(cfg: PipelineConfig, seed_catalogs: dict[str, list[list[str]]] | None):
-    """The applyInPandasWithState group function: one shard's catalog lives
-    in streaming state; each batch seeds a ShardMiner from it, mines the
-    batch's lines in canonical (conv_id, turn_idx) order, and writes the
-    grown catalog back. Strict one-pass Drain (no unique-line shortcut) —
-    the online analog the reference implements."""
+    """The applyInPandasWithState group function: one (shard, salt) group's
+    catalog lives in streaming state; each batch seeds a ShardMiner from it,
+    mines the batch's lines in canonical (conv_id, turn_idx) order, and
+    writes the grown catalog back. Strict one-pass Drain (no unique-line
+    shortcut) — the online analog the reference implements. Emits the same
+    params map as batch assign (values AT ARRIVAL TIME: a later merge can
+    erode the cluster template, so earlier rows' params reflect the template
+    they matched, exactly like the reference's online per-line behavior)."""
     seeds = seed_catalogs or {}
     sim = cfg.sim_threshold
     pats = tuple(cfg.preprocess_patterns)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         shard_key = key[0]
+        salt = int(key[1]) if len(key) > 1 else 0
         if state.exists:
             templates = list(state.get[0])
             cat = [t.split(" ") for t in templates]
@@ -126,19 +131,24 @@ def online_miner_fn(cfg: PipelineConfig, seed_catalogs: dict[str, list[list[str]
         if len(pdf):
             pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
             pre = preprocess_series(pdf["text"].astype(str), pats)
-            tids, tstrs = [], []
+            tids, tstrs, params = [], [], []
             for raw, p in zip(pdf["text"].astype(str), pre):
                 if raw == "":
                     tids.append(template_id(dc.EMPTY_TEMPLATE))
                     tstrs.append(dc.EMPTY_TEMPLATE)
+                    params.append({})
                     continue
-                i = miner.add_line(dc.tokenize(p))
-                s = miner.clusters[i].template_str  # template AT ARRIVAL TIME
-                tids.append(template_id(s))
-                tstrs.append(s)
+                toks = dc.tokenize(p)
+                i = miner.add_line(toks)
+                tpl = miner.clusters[i].template  # template AT ARRIVAL TIME
+                tids.append(template_id(" ".join(tpl)))
+                tstrs.append(" ".join(tpl))
+                params.append(dc.extract_params(toks, tpl))
             out = pdf[["conv_id", "turn_idx", "text"]].copy()
             out["template_id"] = tids
             out["template_str"] = tstrs
+            out["params"] = params
+            out["salt"] = salt
             yield out
         state.update(([c.template_str for c in miner.clusters],))
 
@@ -152,17 +162,33 @@ def stream_pipeline_online(
     cfg: PipelineConfig | None = None,
     seed_catalogs: dict[str, list[list[str]]] | None = None,
     trigger_available_now: bool = True,
+    salt_state: bool = False,
 ):
     """Online incremental mining: stateful per-shard catalogs grow across
     micro-batches (unseen template shapes get mined, not fallback-assigned).
     Shard keys are high-cardinality, so state distributes across executors;
     per-shard state is catalog-sized (templates ≪ rows). Sink writes are
-    idempotent per batch (dynamic partition overwrite on _batch_id)."""
+    idempotent per batch (dynamic partition overwrite on _batch_id).
+
+    `salt_state=False` (default): one state group per logical shard —
+    exactly the sequential DrainTree / reference online semantics
+    (parity-tested). `salt_state=True`: state keys become
+    (shard_key, xxh64(conv_id) % salt_buckets), so ONE dominant template no
+    longer funnels every row through a single state task — the streaming
+    analog of the batch miner's salting. DOCUMENTED APPROXIMATION: each
+    salted sub-shard mines its own catalog (no cross-salt merge mid-stream),
+    so two sub-shards can carry the same masked form independently and
+    early rows may erode differently than an unsalted run; template ids are
+    content hashes, so identical masked forms still collapse in any
+    downstream aggregation. This is the same per-sub-shard semantics batch
+    pass 1 has BEFORE its merge step."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     cfg = cfg or PipelineConfig()
     keyed = with_shard_key(stream_df, cfg)
-    mined = keyed.groupBy("shard_key").applyInPandasWithState(
+    if not salt_state:
+        keyed = keyed.withColumn("salt", F.lit(0))
+    mined = keyed.groupBy("shard_key", "salt").applyInPandasWithState(
         online_miner_fn(cfg, seed_catalogs),
         outputStructType=ONLINE_OUT_SCHEMA,
         stateStructType=ONLINE_STATE_SCHEMA,

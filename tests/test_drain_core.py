@@ -118,6 +118,34 @@ def test_drain_tree_max_children_overflow():
     assert "<*>" in t.root[2]["children"]
 
 
+def test_max_children_overflow_divergence():
+    """Property-pin the documented sequential-vs-distributed deviation
+    (drain_core module docstring; reference: src/drain_parser.cpp:317-332):
+    with > max_children distinct non-numeric values at a prefix position,
+    the sequential DrainTree overflow-merges the excess lines under one
+    <*> child, while the distributed shard key keeps every distinct masked
+    prefix separate (overflow routing is arrival-order state — modeling it
+    would break parallelism-invariant mining)."""
+    n, cap = 10, 3
+    lines = [f"svc{i} started worker thread ok" for i in range(n)]
+
+    tree = dc.DrainTree(depth=4, sim_threshold=0.5, max_children=cap)
+    for ln in lines:
+        tree.add_line(ln)
+    final = set(tree.templates())
+    # first `cap` distinct first-tokens keep literal leaves; the other
+    # n - cap lines share the <*> child and merge into ONE template
+    assert "<*> started worker thread ok" in final
+    assert len(final) == cap + 1
+
+    # distributed: one shard (and thus one literal template) per line
+    keys = {dc.shard_key_str(ln) for ln in lines}
+    assert len(keys) == n
+    distributed = {" ".join(tpl) for k in keys for tpl in [dc.mine_shard(
+        [dc.preprocess(ln) for ln in lines if dc.shard_key_str(ln) == k])[0]]}
+    assert distributed == set(lines)  # no overflow merge — the deviation
+
+
 def test_merge_catalogs_dedupes_in_order():
     a = [["x", "<*>"], ["y", "z"]]
     b = [["y", "z"], ["w", "v"]]

@@ -105,6 +105,60 @@ def test_online_miner_mines_unseen_shapes_across_batches(spark, tmp_path):
     assert got["rkt-2"] == "deploy the rocket payload <*> now"
 
 
+def test_online_miner_emits_params_like_batch_assign(spark, tmp_path):
+    """ONLINE_OUT_SCHEMA carries the params map (batch-assign parity):
+    wildcard-position tokens keyed param_<token idx>, at arrival time."""
+    from log_analysis_ai_spark.streaming import stream_pipeline_online
+
+    pdf = gen_transcripts(10)
+    base_ts = pdf.ts.iloc[0].isoformat()
+    in_dir, out_dir, ckpt = str(tmp_path / "in5"), str(tmp_path / "out5"), str(tmp_path / "ck5")
+    os.makedirs(in_dir)
+    _write_jsonl(
+        f"{in_dir}/f0.jsonl",
+        [
+            {"conv_id": "p-0", "turn_idx": 0, "role": "user",
+             "text": "User 42 logged in", "tool": "none", "ts": base_ts},
+            {"conv_id": "p-1", "turn_idx": 0, "role": "user",
+             "text": "User 77 logged in", "tool": "none", "ts": base_ts},
+        ],
+    )
+    q = stream_pipeline_online(stream_lines(spark, in_dir, SCHEMA), out_dir, ckpt, CFG)
+    q.awaitTermination(120)
+    got = {r.conv_id: (r.template_str, dict(r.params)) for r in spark.read.parquet(out_dir).collect()}
+    # numeric token pre-masks on cluster creation -> params from line 1
+    assert got["p-0"] == ("User <*> logged in", {"param_1": "42"})
+    assert got["p-1"] == ("User <*> logged in", {"param_1": "77"})
+
+
+def test_online_miner_salted_state_distributes_hot_shard(spark, tmp_path):
+    """salt_state=True: one dominant template shape must spread across >1
+    state group (the streaming analog of the batch miner's salting) while
+    still mining the merged template within each group."""
+    from log_analysis_ai_spark.streaming import stream_pipeline_online
+
+    base_ts = gen_transcripts(2).ts.iloc[0].isoformat()
+    rows = [
+        {"conv_id": f"hot-{i:04d}", "turn_idx": 0, "role": "user",
+         "text": f"deploy the rocket payload stage{i} now", "tool": "none", "ts": base_ts}
+        for i in range(200)
+    ]
+    in_dir, out_dir, ckpt = str(tmp_path / "in6"), str(tmp_path / "out6"), str(tmp_path / "ck6")
+    os.makedirs(in_dir)
+    _write_jsonl(f"{in_dir}/f0.jsonl", rows)
+    q = stream_pipeline_online(
+        stream_lines(spark, in_dir, SCHEMA), out_dir, ckpt, CFG, salt_state=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 200
+    salts = [r.salt for r in got.select("salt").distinct().collect()]
+    assert len(salts) > 1  # the hot shard is NOT funneled through one state task
+    # within every salt group, later arrivals merged into the <*> cluster
+    merged = got.filter(F.col("template_str") == "deploy the rocket payload <*> now")
+    assert merged.count() >= 200 - len(salts)  # at most one literal first-arrival per salt
+
+
 def test_online_miner_equals_sequential_draintree(spark, tmp_path):
     """Arrival-time online assignment over one micro-batch must equal a
     sequential DrainTree run over the same lines in the same canonical

