@@ -159,11 +159,17 @@ def _events_hourly(spark, sf_dir):
 
 
 def _events_pivot_user(spark, sf_dir):
+    """Pivot with EXPLICIT x-values (the oracle SQL hardcodes the same
+    five): at scale, discovering pivot keys via distinct().collect() costs
+    a full extra scan — pass them (queries.pivot_counts has the same
+    contract)."""
     ev = _t(spark, sf_dir, "events")
-    kinds = [r.event_type for r in ev.select("event_type").distinct().collect()]
-    out = ev.groupBy("user_id")
-    agg = [F.sum(F.when(F.col("event_type") == k, 1).otherwise(0)).alias(f"n_{k}") for k in sorted(kinds)]
-    return out.agg(*agg).orderBy("user_id")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    agg = [
+        F.sum(F.when(F.col("event_type") == k, 1).otherwise(0)).alias(f"n_{k}")
+        for k in kinds
+    ]
+    return ev.groupBy("user_id").agg(*agg).orderBy("user_id")
 
 
 def _events_props_json(spark, sf_dir):
@@ -517,6 +523,20 @@ def _emb_ivf_indexed_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _emb_topk_batch(spark, sf_dir):
+    """Batch retrieval: top-10 for FIVE query vectors in one corpus scan
+    (cosine_topk_batch). Oracle: cross join + per-query window rank."""
+    from log_analysis_ai_spark.operators.similarity import cosine_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    queries = {int(r.vec_id): [float(x) for x in r.embedding] for r in qrows}
+    out = cosine_topk_batch(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
 def _events_error_context(spark, sf_dir):
     """±5min context rows around every error event (bucketed range join)."""
     from log_analysis_ai_spark.operators.context import event_context
@@ -668,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_dimensions_roundtrip": _csv_dimensions_roundtrip,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
+        "emb_topk_batch": _emb_topk_batch,
         # rows-only (no SQL oracle):
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
@@ -905,6 +926,18 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "emb_topk_batch": """
+            SELECT query_id, vec_id, round(cos, 4) AS cosine FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                e.vec_id) AS rn
+              FROM embeddings e,
+                   (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
+            WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
         """,
         "syslog_roundtrip": """
             SELECT event_id,

@@ -228,28 +228,40 @@ def minhash_near_dups(
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
-    """Distributed connected components: min-label propagation with
-    pointer jumping.
+    """Connected components with a size-adaptive physical strategy.
 
     Returns (node, label) with label = the smallest node id reachable from
-    `node` — the canonical-keeper rule for dedup groups. Each round first
-    takes the min label over neighbors, then JUMPS (label := label(label)),
-    which doubles the propagation distance per round — O(log diameter)
-    rounds instead of O(diameter). Every round moves EDGE-table-scale data
-    only — for near-dup pipelines pairs ≪ docs, so the loop never touches
-    the corpus. `localCheckpoint` truncates the iterative lineage (the
-    classic Spark pitfall: an unbounded plan tree that re-executes every
-    prior round).
+    `node` — the canonical-keeper rule for dedup groups.
 
-    Raises RuntimeError if the fixpoint is not reached within `max_iter`
-    rounds (with jumping that needs component diameter > 2^max_iter —
-    never in practice; silently returning non-converged labels would be a
-    wrong answer with no signal)."""
+    The edge table for near-dup pipelines is CANDIDATE-PAIR scale (pairs ≪
+    corpus), and its size is known for free once materialized — so pick the
+    physical strategy the size calls for, like AQE does for joins:
+
+    - ≤ `driver_threshold` edges: collect and solve with union-find on the
+      driver (~16 bytes/edge → the default cap is ~80 MB; milliseconds vs
+      tens of distributed rounds at >1 s of scheduling each). This is NOT
+      a fact-table collect: the cap bounds driver memory explicitly.
+    - above it: distributed min-label propagation with pointer jumping
+      (label := min(label, label(label)) each round). Every round moves
+      edge-scale data only; `localCheckpoint` truncates the iterative
+      lineage (the classic Spark pitfall: an unbounded plan tree that
+      re-executes every prior round). Raises RuntimeError if the fixpoint
+      is not reached within `max_iter` rounds — silently returning
+      non-converged labels would be a wrong answer with no signal.
+
+    Both paths produce identical labels (parity-tested against each other
+    and a reference union-find over seeded random graphs)."""
     e = pairs.select(F.col(src).cast("long").alias("e_a"), F.col(dst).cast("long").alias("e_b"))
     edges = e.union(e.select(F.col("e_b").alias("e_a"), F.col("e_a").alias("e_b"))).distinct()
     edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= driver_threshold:
+        return _cc_driver(pairs.sparkSession, edges)
     labels = edges.select(F.col("e_a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -285,6 +297,28 @@ def connected_components(
             "rounds — raise max_iter (pointer jumping needs ~log2(diameter) rounds)"
         )
     return labels
+
+
+def _cc_driver(spark, edges: DataFrame) -> DataFrame:
+    """Union-find over a collected (bounded — see caller) edge table."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        ra, rb = find(r.e_a), find(r.e_b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        root = find(n)
+        comp_min[root] = min(comp_min.get(root, n), n)
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return spark.createDataFrame(rows, "node long, label long")
 
 
 def dedup_groups_by_keys(df: DataFrame, keys: list, id_col: str = "doc_id") -> DataFrame:

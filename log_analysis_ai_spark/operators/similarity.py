@@ -75,6 +75,59 @@ def cosine_topk_numpy(
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k for a BATCH of queries in ONE corpus scan.
+
+    The query matrix rides in the UDF closure (queries ≪ corpus — thousands
+    of query vectors are a few MB); each Arrow batch does a single
+    (batch × dim) @ (dim × q) matmul, keeps the per-batch top-k per query
+    with the full (cosine desc, id asc) tie-break, and a final per-query
+    window over the ~q × k × partitions survivors picks the global top-k.
+    Q queries cost ONE scan instead of Q scans — the batch-retrieval shape.
+    Returns (query_id, id_col, cosine) rows."""
+    from pyspark.sql.window import Window
+
+    qids = sorted(queries)
+    qmat = np.stack([np.asarray(queries[q], dtype="float64") for q in qids])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm = np.where(qnorm == 0, 1.0, qnorm)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            norms = np.linalg.norm(m, axis=1)
+            norms = np.where(norms == 0, 1.0, norms)
+            cos = (m @ qmat.T) / norms[:, None] / qnorm[None, :]  # (n, q)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_cos = [], [], []
+            for j, qid in enumerate(qids):
+                top = np.lexsort((ids, -cos[:, j]))[:k]
+                out_q.extend([qid] * len(top))
+                out_id.extend(ids[top])
+                out_cos.extend(cos[top, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_id, "cosine": out_cos}
+            )
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), id_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim)).astype("float32")
 

@@ -124,6 +124,27 @@ def test_ivf_topk_exact_when_probing_all_lists(spark, emb):
     assert probed[0].vec_id == 5  # self lands in the probed list
 
 
+def test_cosine_topk_batch_equals_per_query(spark, emb):
+    """Batch multi-query top-k (one corpus scan) must equal per-query exact
+    brute force, including the (cosine desc, id asc) tie-break."""
+    from log_analysis_ai_spark.operators.similarity import cosine_topk_batch
+
+    qrows = emb.filter(F.col("vec_id").isin([1, 4, 7])).select("vec_id", "embedding").collect()
+    queries = {int(r.vec_id): [float(x) for x in r.embedding] for r in qrows}
+    got = {
+        (r.query_id, r.vec_id): round(r.cosine, 6)
+        for r in cosine_topk_batch(emb, queries, k=5).collect()
+    }
+    want = {}
+    for qid, vec in queries.items():
+        for r in cosine_topk(emb, vec, k=5).collect():
+            want[(qid, r.vec_id)] = round(r.cosine, 6)
+    assert got == want
+    # self always ranks first
+    for qid in queries:
+        assert (qid, qid) in got and got[(qid, qid)] == 1.0
+
+
 def test_ivf_indexed_prunes_partitions_and_is_exact(spark, emb, tmp_path):
     """The persisted IVF index must (a) equal exact brute force at
     nprobe == n_lists and (b) push the probe filter into PartitionFilters —
@@ -240,10 +261,15 @@ def test_connected_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long"
     )
+    # driver_threshold=0 forces the DISTRIBUTED loop (the driver union-find
+    # path has no iteration limit to exercise)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=1)
+        connected_components(chain, max_iter=1, driver_threshold=0)
     # and with jumping it DOES converge in O(log n) rounds
-    got = {r.node: r.label for r in connected_components(chain, max_iter=6).collect()}
+    got = {
+        r.node: r.label
+        for r in connected_components(chain, max_iter=6, driver_threshold=0).collect()
+    }
     assert set(got.values()) == {0}
 
 

@@ -146,8 +146,15 @@ def test_connected_components_union_find_parity(spark):
             comp_min[r] = min(comp_min.get(r, v), v)
         want = {v: comp_min[find(v)] for v in nodes}
         df = spark.createDataFrame(edges, "id_a long, id_b long")
-        got = {r.node: r.label for r in connected_components(df).collect()}
-        assert got == want, f"seed {seed}"
+        # both physical strategies must agree with the reference union-find:
+        # driver path (default threshold) AND distributed loop (threshold=0)
+        got_driver = {r.node: r.label for r in connected_components(df).collect()}
+        got_dist = {
+            r.node: r.label
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
+        assert got_driver == want, f"seed {seed} (driver path)"
+        assert got_dist == want, f"seed {seed} (distributed path)"
 
 
 def test_pipeline_empty_table_and_edge_texts(spark, lookups_pdf):
