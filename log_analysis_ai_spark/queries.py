@@ -118,6 +118,24 @@ def logs_page(df: DataFrame, limit: int = 100, offset: int = 0) -> DataFrame:
     return df.withColumn("_rn", w).filter(F.col("_rn") > offset).limit(limit).drop("_rn")
 
 
+def logs_page_keyset(
+    df: DataFrame, limit: int = 100, after: tuple[str, int] | None = None
+) -> DataFrame:
+    """Keyset pagination — the scale path `logs_page` points at. Instead of
+    numbering every row to skip `offset` (a full sort + scan of everything
+    before the page), filter on the last-seen key and take the next page:
+    the predicate pushes down to the scan and each page costs O(page).
+    `after` = (conv_id, turn_idx) of the previous page's last row."""
+    out = df
+    if after is not None:
+        c, t = after
+        out = out.filter(
+            (F.col("conv_id") > F.lit(c))
+            | ((F.col("conv_id") == F.lit(c)) & (F.col("turn_idx") > F.lit(t)))
+        )
+    return out.orderBy("conv_id", "turn_idx").limit(limit)
+
+
 def execute_sql(spark, sql: str, views: dict[str, DataFrame] | None = None) -> DataFrame:
     """Arbitrary SQL passthrough (reference: python/logai_agent.py:385-405)."""
     for name, df in (views or {}).items():

@@ -74,6 +74,20 @@ def test_logs_page(turns):
     assert {(r.conv_id, r.turn_idx) for r in a}.isdisjoint({(r.conv_id, r.turn_idx) for r in b})
 
 
+def test_logs_page_keyset_equals_offset_paging(turns):
+    """Keyset pages must equal OFFSET pages row-for-row (same total order),
+    while the plan is a pushed-down filter + top-k instead of a global
+    row_number."""
+    a = Q.logs_page(turns, limit=10, offset=0).collect()
+    b = Q.logs_page(turns, limit=10, offset=10).collect()
+    ka = Q.logs_page_keyset(turns, limit=10).collect()
+    last = (ka[-1].conv_id, ka[-1].turn_idx)
+    kb = Q.logs_page_keyset(turns, limit=10, after=last).collect()
+    key = lambda rows: [(r.conv_id, r.turn_idx) for r in rows]  # noqa: E731
+    assert key(ka) == key(a)
+    assert key(kb) == key(b)
+
+
 def test_execute_sql(spark, turns):
     df = Q.execute_sql(spark, "SELECT role, count(*) AS n FROM t GROUP BY role", {"t": turns})
     assert df.count() == 4
