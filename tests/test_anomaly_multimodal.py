@@ -48,11 +48,41 @@ def test_media_decode_stub_gate(spark):
         extract_features(media, decode_stub=False).collect()
 
 
-def test_resize_images_schema(spark):
+def test_real_decode_no_stub_for_supported_mimes(spark):
+    """png/wav decode is REAL now: decode_stub=False succeeds for image+
+    audio rows (only video, whose mp4 demux genuinely needs ffmpeg, still
+    gates). And the audio feature's spectral centroid tracks the synth
+    pitch ladder — physical evidence the PCM actually decoded."""
+    media = synth_media(spark, 24).filter(F.col("kind") != "video")
+    rows = extract_features(media, decode_stub=False).collect()
+    assert len(rows) == 16  # 8 images + 8 audios
+    cents = {
+        r.media_id: r.feature[2] for r in rows if r.media_id % 3 == 1  # audio rows
+    }
+    # synth pitch is 220 + 20*(i % 13): ranking media ids by measured
+    # centroid must equal ranking them by their synth f0
+    by_centroid = sorted(cents, key=cents.get)
+    by_f0 = sorted(cents, key=lambda i: 220 + 20 * (i % 13))
+    assert by_centroid == by_f0
+
+
+def test_resize_images_real_roundtrip(spark):
+    """resize_images now REALLY decodes (PNG codec), resizes, re-encodes:
+    each output payload must be a decodable 16x16 PNG equal to the
+    nearest-resize of the original decoded image."""
+    import numpy as np
+
+    from log_analysis_ai_spark import codecs
+
     media = synth_media(spark, 12)
-    out = resize_images(media, size=(16, 16)).collect()
-    assert len(out) == media.filter(F.col("kind") == "image").count()
-    assert all(r.width == 16 and r.height == 16 and len(bytes(r.payload)) == 16 * 16 * 3 for r in out)
+    out = {r.media_id: r for r in resize_images(media, size=(16, 16)).collect()}
+    src = {r.media_id: r for r in media.filter(F.col("kind") == "image").collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        assert r.width == 16 and r.height == 16
+        got = codecs.decode_png(bytes(r.payload))
+        want = codecs.resize_nearest(codecs.decode_png(bytes(src[mid].payload)), (16, 16))
+        assert np.array_equal(got, want)
 
 
 def test_sample_frames(spark):
