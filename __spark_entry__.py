@@ -226,6 +226,18 @@ def _events_rate_anomalies(spark, sf_dir):
     ).orderBy("event_type", "window_start")
 
 
+def _events_trending(spark, sf_dir):
+    """Window-over-window trend (the reference stubs this): per-(hour,
+    event_type) counts with growth vs the type's previous hour."""
+    from log_analysis_ai_spark.queries import trending_windowed
+
+    ev = _t(spark, sf_dir, "events")
+    out = trending_windowed(ev, key_col="event_type", ts_col="ts", window="hour")
+    return out.select(
+        "window_start", F.col("key").alias("event_type"), "n", "growth"
+    ).orderBy("window_start", "event_type")
+
+
 def _time_range_events(spark, sf_dir):
     from log_analysis_ai_spark.queries import time_range
 
@@ -668,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_zscore": _events_zscore,
         "events_rate_anomalies": _events_rate_anomalies,
+        "events_trending": _events_trending,
         "time_range_events": _time_range_events,
         "docs_search": _docs_search,
         "docs_dedup_exact": _docs_dedup_exact,
@@ -832,6 +845,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type, window_start
         """,
         "time_range_events": "SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events",
+        "events_trending": """
+            SELECT window_start, event_type, n,
+                   n - coalesce(lag(n) OVER (PARTITION BY event_type ORDER BY window_start), 0) AS growth
+            FROM (
+              SELECT date_trunc('hour', ts) AS window_start, event_type,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2)
+            ORDER BY window_start, event_type
+        """,
         "docs_search": """
             SELECT doc_id, n_chars FROM documents
             WHERE text LIKE '%spark window%' ORDER BY doc_id LIMIT 50

@@ -96,9 +96,30 @@ def statistics(df: DataFrame, col: str) -> DataFrame:
 
 
 def trending_templates(df: DataFrame, k: int = 5) -> DataFrame:
-    """Top-k templates by count (reference: python/logai_agent.py:530-535);
-    the real trend version the reference stubs: per-window counts ranked."""
+    """Top-k templates by count (reference: python/logai_agent.py:530-535).
+    For the real window-over-window trend the reference stubs, see
+    `trending_windowed`."""
     return template_frequency(df).limit(k)
+
+
+def trending_windowed(
+    df: DataFrame, key_col: str = "template_id", ts_col: str = "ts", window: str = "hour"
+) -> DataFrame:
+    """The REAL trend the reference stubs: per-window counts per key with
+    growth vs the key's previous window (lag). The window function runs
+    over the AGGREGATED (windows × keys) count table — catalog-scale, never
+    the fact table — so partitionBy(key) here is safe at 10^12 rows.
+    Returns (window_start, key, n, growth); a key's first window has no
+    predecessor, so its baseline is 0 — a newly-appearing key trends by
+    its full count (also keeps growth non-null for downstream sorts)."""
+    wc = df.groupBy(
+        F.date_trunc(window, F.col(ts_col)).alias("window_start"),
+        F.col(key_col).alias("key"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("key").orderBy("window_start")
+    return wc.withColumn(
+        "growth", F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0))
+    )
 
 
 def pivot_counts(df: DataFrame, y: str, x: str, x_values: list[str] | None = None) -> DataFrame:

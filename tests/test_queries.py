@@ -74,6 +74,30 @@ def test_logs_page(turns):
     assert {(r.conv_id, r.turn_idx) for r in a}.isdisjoint({(r.conv_id, r.turn_idx) for r in b})
 
 
+def test_trending_windowed_growth(spark):
+    """Hand-computed window-over-window growth: counts per (hour, key)
+    and growth = n - previous window's n (NULL for a key's first hour)."""
+    from datetime import datetime
+
+    rows = [
+        ("a", datetime(2025, 1, 1, 10, m)) for m in (0, 1, 2)
+    ] + [
+        ("a", datetime(2025, 1, 1, 11, m)) for m in (0, 1, 2, 3, 4)
+    ] + [
+        ("b", datetime(2025, 1, 1, 11, 0)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {
+        (r.key, r.window_start.hour): (r.n, r.growth)
+        for r in Q.trending_windowed(df, key_col="k").collect()
+    }
+    assert out == {
+        ("a", 10): (3, 3),   # first window: baseline 0 -> growth = n
+        ("a", 11): (5, 2),
+        ("b", 11): (1, 1),
+    }
+
+
 def test_logs_page_keyset_equals_offset_paging(turns):
     """Keyset pages must equal OFFSET pages row-for-row (same total order),
     while the plan is a pushed-down filter + top-k instead of a global
