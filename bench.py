@@ -86,6 +86,17 @@ def main() -> int:
     import __spark_entry__ as entry
     from log_analysis_ai_spark.session import get_spark
 
+    # host-health stamp: the sandbox host's deliverable memory bandwidth
+    # swings 8-35 GB/s minute to minute (BENCH/BASELINE.md "Host noise") —
+    # record what this run got so cross-round comparisons are interpretable
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from ceiling_probe import triad_aggregate
+
+        health = round(triad_aggregate(8), 1)
+    except Exception:
+        health = None
+
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
     qs = entry.queries()
     sf = _sf_of(sf_dir)
@@ -115,6 +126,7 @@ def main() -> int:
                 "sf": float(sf),
                 "pipeline": pipe,
                 "cpus": cpus,
+                "host_triad8_gbs": health,
                 **_deltas_vs_prev(times),
             }
         )
