@@ -230,6 +230,20 @@ def test_dedup_groups_by_keys_merges_across_keys(spark):
     assert got == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
 
 
+def test_dedup_exact_shuffles_on_hash_not_text(docs):
+    """Plan pin: the exact-dedup exchange must partition on the 8-byte
+    xxhash64 projection (_w0 = xxhash64(text)), not the raw text bytes —
+    at 100 TB that is the difference between shuffling 8 B and ~1 KB per
+    row for the partitioning key."""
+    from log_analysis_ai_spark.operators.dedup import dedup_exact
+
+    plan = dedup_exact(docs)._jdf.queryExecution().executedPlan().toString()
+    proj = [ln for ln in plan.splitlines() if "xxhash64(text" in ln]
+    assert proj, plan  # the hash is computed as a projection...
+    exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning(_w" in ln]
+    assert exch, plan  # ...and the exchange partitions on that projection
+
+
 def test_dedup_groups_null_keys_become_singletons(spark):
     """NULL blocking keys carry no blocking value: null-text docs must
     surface as their own singleton keep=true groups, not vanish (ADVICE r2)
