@@ -702,10 +702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
         "emb_topk_batch": _emb_topk_batch,
-        # rows-only (no SQL oracle):
+        "emb_near_dups": _emb_near_dups,
+        # rows-only (no SQL oracle — LSH banding recall is approximate by
+        # design: measured 24/25 true Jaccard>=0.8 pairs recalled at sf0.01,
+        # the miss being the ~0.2% no-band-collision case at J=0.9):
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
-        "emb_near_dups": _emb_near_dups,
         "emb_ann_topk": _emb_ann_topk,
         "pipeline_template_counts": _pipeline_template_counts,
         "pipeline_sink_counts": _pipeline_sink_counts,
@@ -948,6 +950,22 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        # emb_near_dups is oracle-checkable despite LSH banding because the
+        # fixture is adversarially clean: the only cosine>=0.92 pairs are
+        # the planted IDENTICAL clones, and identical vectors share every
+        # hyperplane bucket by construction — recall is exactly 1 here, so
+        # the LSH result equals the exact all-pairs threshold join.
+        "emb_near_dups": """
+            WITH uni AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.92
+            ORDER BY id_a, id_b
         """,
         "emb_topk_batch": """
             SELECT query_id, vec_id, round(cos, 4) AS cosine FROM (

@@ -313,8 +313,8 @@ def near_dup_embeddings(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            a = np.stack(pdf["va"].to_numpy())
-            c = np.stack(pdf["vb"].to_numpy())
+            a = np.stack(pdf["va"].to_numpy()).astype("float64")
+            c = np.stack(pdf["vb"].to_numpy()).astype("float64")
             cos = np.einsum("ij,ij->i", a, c) / (
                 np.linalg.norm(a, axis=1) * np.linalg.norm(c, axis=1)
             )
