@@ -25,6 +25,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def compute_once(df: DataFrame, caches: list | None = None) -> DataFrame:
+    """Materialize a DataFrame ONCE for multi-scan reuse.
+
+    The LSH operators self-join their signature stage, and higher-order-
+    function lambdas (transform/aggregate) never canonicalize equal, so
+    Catalyst cannot fold the two scans into a ReusedExchange (NOTES_r3) —
+    without this the expensive signature computation runs once per scan
+    (2-4× per near-dup call).
+
+    Two modes:
+    - `caches` given (fault-tolerant path for long batch jobs): persist
+      MEMORY_AND_DISK and append the handle; the CALLER unpersists after
+      materializing downstream results (same contract as pipeline.route).
+      Persisted blocks keep lineage, so an executor loss recomputes.
+    - `caches` None (default, interactive/one-shot calls): lazy
+      localCheckpoint — computed on first action, shared by every scan,
+      blocks freed when the plan is GC'd (no unpersist contract to leak).
+      Trade-off: checkpoint truncates lineage, so a lost executor fails the
+      query instead of recomputing — acceptable for a query you just rerun,
+      wrong for a 10-hour job (pass `caches` there)."""
+    if caches is not None:
+        df = df.persist()
+        caches.append(df)
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition up to default parallelism when the input arrives in fewer
     partitions than cores — a small corpus in one parquet row group otherwise
@@ -155,6 +182,7 @@ def minhash_candidates(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     report: dict | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
     Returns (id_a, id_b) with id_a < id_b, distinct.
@@ -163,13 +191,19 @@ def minhash_candidates(
     `max_bucket_size` to drop degenerate buckets before the self-join
     (skew guard — candidate counts stay linear under adversarial
     near-identical corpora) and pass `report` to account for what the cap
-    excluded (see guard_hot_buckets — no silent caps)."""
-    banded = guard_hot_buckets(
-        minhash_banded(df, text_col, id_col, k, bands, shingle_n),
-        ["band", "bucket"],
-        max_bucket_size,
-        report,
+    excluded (see guard_hot_buckets — no silent caps). NOTE for unguarded
+    callers that previously relied on the pre-r3 implicit cap of 2000:
+    a degenerate bucket now costs |bucket|² verification pairs — use
+    hot_bucket_report to audit a corpus before an unguarded run.
+
+    The banded signature table is materialized once (compute_once) and
+    shared by the size guard + both sides of the self-join — the 64-hash
+    MinHash signature is the expensive stage and HOF plans never fold into
+    a ReusedExchange. Pass `caches` for the fault-tolerant persist path."""
+    banded = compute_once(
+        minhash_banded(df, text_col, id_col, k, bands, shingle_n), caches
     )
+    banded = guard_hot_buckets(banded, ["band", "bucket"], max_bucket_size, report)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -185,12 +219,19 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for candidate pairs (verification stage).
-    Native array_intersect/array_union on distinct shingle sets."""
+    Native array_intersect/array_union on distinct shingle sets. The
+    shingle-set table joins twice (id_a, id_b), so it is materialized once
+    (compute_once) instead of re-shingling the corpus per join side."""
     df = widen_if_narrow(df)
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh")
+    sh = compute_once(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+        ),
+        caches,
     )
     out = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -215,14 +256,15 @@ def minhash_near_dups(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     report: dict | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """MinHash LSH candidates verified by exact Jaccard >= threshold.
     Unguarded by default; see minhash_candidates for the skew-cap +
-    accounting contract."""
+    accounting contract and compute_once for the `caches` contract."""
     cand = minhash_candidates(
-        df, text_col, id_col, k, bands, shingle_n, max_bucket_size, report
+        df, text_col, id_col, k, bands, shingle_n, max_bucket_size, report, caches
     )
-    return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
+    return jaccard_pairs(df, cand, text_col, id_col, shingle_n, caches).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -243,10 +285,14 @@ def connected_components(
     corpus), and its size is known for free once materialized — so pick the
     physical strategy the size calls for, like AQE does for joins:
 
-    - ≤ `driver_threshold` edges: collect and solve with union-find on the
-      driver (~16 bytes/edge → the default cap is ~80 MB; milliseconds vs
-      tens of distributed rounds at >1 s of scheduling each). This is NOT
-      a fact-table collect: the cap bounds driver memory explicitly.
+    - ≤ `driver_threshold` edges: collect via Arrow into primitive numpy
+      arrays (NOT `collect()` — boxed Rows cost ~40× the 16 bytes/edge and
+      would make the cap several GB of driver heap; the Arrow path is two
+      int64 columns, so the default 5M-edge cap is ~160 MB transient pandas
+      + ~240 MB numpy working set) and solve with vectorized min-label
+      propagation. Milliseconds vs tens of distributed rounds at >1 s of
+      scheduling each. This is NOT a fact-table collect: the cap bounds
+      driver memory explicitly.
     - above it: distributed min-label propagation with pointer jumping
       (label := min(label, label(label)) each round). Every round moves
       edge-scale data only; `localCheckpoint` truncates the iterative
@@ -300,25 +346,32 @@ def connected_components(
 
 
 def _cc_driver(spark, edges: DataFrame) -> DataFrame:
-    """Union-find over a collected (bounded — see caller) edge table."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for r in edges.collect():
-        ra, rb = find(r.e_a), find(r.e_b)
-        if ra != rb:
-            parent[ra] = rb
-    comp_min: dict[int, int] = {}
-    for n in parent:
-        root = find(n)
-        comp_min[root] = min(comp_min.get(root, n), n)
-    rows = [(n, comp_min[find(n)]) for n in parent]
-    return spark.createDataFrame(rows, "node long, label long")
+    """Driver-side connected components over a bounded (see caller) edge
+    table: Arrow collect into primitive int64 numpy arrays, then vectorized
+    min-label propagation with pointer jumping — no boxed Rows, no Python
+    dicts (a dict-based union-find boxes every node id at ~28 B + dict slot
+    overhead, several GB at the 5M-edge cap; the numpy path is O(edges)
+    int64 arrays and converges in O(log diameter) vectorized rounds)."""
+    pdf = edges.toPandas()  # Arrow-enabled session: two primitive columns
+    ea = pdf["e_a"].to_numpy(dtype=np.int64)
+    eb = pdf["e_b"].to_numpy(dtype=np.int64)
+    if len(ea) == 0:
+        return spark.createDataFrame([], "node long, label long")
+    nodes, inv = np.unique(np.concatenate([ea, eb]), return_inverse=True)
+    ia, ib = inv[: len(ea)], inv[len(ea) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(64):  # converges in ~log2(diameter) rounds
+        new = label.copy()
+        np.minimum.at(new, ia, label[ib])
+        np.minimum.at(new, ib, label[ia])
+        new = np.minimum(new, new[new])  # pointer jump
+        if np.array_equal(new, label):
+            break
+        label = new
+    else:  # pragma: no cover — 64 jumped rounds cover diameter 2^64
+        raise RuntimeError("driver connected-components did not converge")
+    out = pd.DataFrame({"node": nodes, "label": nodes[label]})
+    return spark.createDataFrame(out, schema="node long, label long")
 
 
 def dedup_groups_by_keys(df: DataFrame, keys: list, id_col: str = "doc_id") -> DataFrame:
@@ -372,7 +425,7 @@ def near_dup_groups(
     """MinHash near-dup pairs resolved into keep/drop groups: verified pairs
     → connected components → (doc_id, group_id, keep). Docs with no near-dup
     partner are absent (implicitly kept); the CC loop therefore runs over
-    pair-scale data only."""
+    pair-scale data only. Accepts minhash_near_dups kwargs incl. `caches`."""
     pairs = minhash_near_dups(df, text_col, id_col, threshold, **minhash_kwargs)
     labels = connected_components(pairs.select("id_a", "id_b"))
     return labels.select(
@@ -413,6 +466,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
     report: dict | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Near-dups by SimHash Hamming distance: band the 64-bit signature into
     4×16-bit chunks (any Hamming-≤3 pair shares at least one chunk by
@@ -423,8 +477,17 @@ def simhash_near_dups(
     trades completeness for skew protection — e.g. the all-zero chunk every
     very short doc hashes to would otherwise cost |bucket|² verification
     pairs; pairs whose only shared chunk is a dropped hot one are then
-    missed. Pass `report` to account for dropped buckets (no silent caps)."""
-    sh = simhash_docs(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
+    missed. Pass `report` to account for dropped buckets (no silent caps);
+    audit unguarded corpora with hot_bucket_report (pre-r3 callers got an
+    implicit cap of 2000 — that silent default is gone).
+
+    The (id, simhash) signature table is materialized once (compute_once)
+    and shared by the guard + both self-join sides — the Arrow-batched bit
+    fold is the expensive stage. `caches` as in compute_once."""
+    sh = compute_once(
+        simhash_docs(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash"),
+        caches,
+    )
     banded = sh.select(
         "_id",
         "simhash",

@@ -283,30 +283,45 @@ def near_dup_embeddings(
     dim: int | None = None,
     max_bucket_size: int | None = None,
     report: dict | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-bucket join, exact
-    cosine verification inside buckets (id_a < id_b). Pass `dim` to avoid
-    the driver-side probe job that otherwise infers it from the first row.
+    cosine verification (id_a < id_b). Pass `dim` to avoid the driver-side
+    probe job that otherwise infers it from the first row.
     Unguarded by default; at scale set `max_bucket_size` to drop degenerate
     hyperplane buckets (e.g. many zero/duplicate vectors — |bucket|²
     verification pairs otherwise) and pass `report` for drop accounting
-    (guard_hot_buckets — no silent caps)."""
-    from .dedup import guard_hot_buckets
+    (guard_hot_buckets — no silent caps).
+
+    Shuffle-width discipline (plan-asserted in tests): the bucket self-join
+    — the stage exposed to bucket skew — ships only (_id, _bucket) rows;
+    vectors are re-attached AFTERWARDS by two slim id-equi-joins against the
+    (id, vector) table. Shipping vectors through the skewed bucket join
+    would multiply the widest column by the |bucket|² pair blowup exactly
+    where it hurts most (VERDICT r3). The bucketed table is materialized
+    once (compute_once) so the hyperplane UDF runs one corpus pass shared
+    by guard + both join sides; `caches` as in compute_once."""
+    from .dedup import compute_once, guard_hot_buckets
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
-        "_bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col("_v"))
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    b = compute_once(
+        vecs.withColumn("_bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col("_v")))
+        .select("_id", "_bucket"),
+        caches,
     )
     b = guard_hot_buckets(b, ["_bucket"], max_bucket_size, report)
     l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
+    id_pairs = l.join(
         r, (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id"))
-    ).select(
-        F.col("l._id").alias("id_a"),
-        F.col("r._id").alias("id_b"),
-        F.col("l._v").alias("va"),
-        F.col("r._v").alias("vb"),
+    ).select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    pairs = (
+        id_pairs.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
+        )
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b")
+        .select("id_a", "id_b", "va", "vb")
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

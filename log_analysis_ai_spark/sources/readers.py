@@ -156,27 +156,51 @@ _SYSLOG_RE = (
 )
 
 
-def parse_syslog(df: DataFrame, col: str = "value") -> DataFrame:
+def parse_syslog(df: DataFrame, col: str = "value", assume_year: int | None = None) -> DataFrame:
     """RFC3164-ish syslog (reference: src/syslog_parser.cpp:48-143):
     optional <pri> with facility=pri>>3 / severity=pri&7 decode
     (src/syslog_parser.cpp:53-65), classic or ISO timestamp, host,
-    program[pid], message."""
+    program[pid], message.
+
+    Classic `MMM d HH:mm:ss` timestamps carry NO year. The reference stamps
+    the current wall-clock year (src/syslog_parser.cpp:77-84) — a
+    nondeterminism this engine refuses to replicate (the same file parsed in
+    two different years yields different data). Callers parsing
+    classic-format data must pass an explicit `assume_year`; with the
+    default None, classic timestamps parse to NULL `ts` (ISO timestamps are
+    unaffected) — a loud, checkable signal rather than a silently
+    mis-yeared value."""
     c = F.col(col)
     g = lambda i: F.regexp_extract(c, _SYSLOG_RE, i)  # noqa: E731
     pri = F.nullif(g(1), F.lit("")).cast("int")
     sev_map = F.array(*[F.lit(s) for s in SYSLOG_SEVERITIES])
     fac_map = F.array(*[F.lit(s) for s in SYSLOG_FACILITIES])
     raw_ts = g(2)
-    classic = F.try_to_timestamp(
-        F.concat(F.lit("2025 "), F.regexp_replace(raw_ts, "  ", " ")), F.lit("yyyy MMM d HH:mm:ss")
-    )
+    if assume_year is None:
+        classic = F.lit(None).cast("timestamp")
+    else:
+        classic = F.try_to_timestamp(
+            F.concat(F.lit(f"{int(assume_year)} "), F.regexp_replace(raw_ts, "  ", " ")),
+            F.lit("yyyy MMM d HH:mm:ss"),
+        )
     return (
         df.withColumn("pri", pri)
         .withColumn("facility", F.shiftright(pri, 3))
         .withColumn("severity_num", pri.bitwiseAND(F.lit(7)))
         .withColumn("severity", F.element_at(sev_map, pri.bitwiseAND(F.lit(7)) + 1))
         .withColumn("facility_name", F.element_at(fac_map, F.shiftright(pri, 3) + 1))
-        .withColumn("ts", F.coalesce(to_timestamp_multi(raw_ts), classic))
+        # classic (year-less) timestamps must NOT fall through to the
+        # generic chain: its "MMM d HH:mm:ss" entry would silently stamp
+        # 1970 — route them exclusively through the explicit assume_year
+        .withColumn(
+            "ts",
+            F.coalesce(
+                to_timestamp_multi(
+                    raw_ts, tuple(f for f in TS_FORMATS if f != "MMM d HH:mm:ss")
+                ),
+                classic,
+            ),
+        )
         .withColumn("host", F.nullif(g(3), F.lit("")))
         .withColumn("program", F.nullif(g(4), F.lit("")))
         .withColumn("pid", F.nullif(g(5), F.lit("")).cast("int"))
@@ -286,13 +310,15 @@ PARSERS = {
 
 def parse_format(df: DataFrame, fmt: str, col: str = "value", **kw) -> DataFrame:
     """Parser factory dispatch on format name (reference: create_parser,
-    src/file_data_loader.cpp:351-363)."""
+    src/file_data_loader.cpp:351-363). Extra kwargs thread to the parser
+    (e.g. `assume_year` for syslog's classic timestamps)."""
     if fmt == "regex":
         return parse_regex(df, col, kw["pattern"], kw["group_names"])
     try:
-        return PARSERS[fmt](df, col)
+        parser = PARSERS[fmt]
     except KeyError:
         raise ValueError(f"unknown format {fmt!r}; known: {sorted(PARSERS)} + ['regex']") from None
+    return parser(df, col, **kw)
 
 
 def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
