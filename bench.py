@@ -38,6 +38,12 @@ HEADLINE = [
     "syslog_roundtrip",
 ]
 
+# queries whose first run is dominated by one-time whole-stage-codegen
+# compile of the 64-permutation signature (measured 16.8s cold vs 1.8s warm
+# at sf0.1 in r3) — benched twice so BENCH reports compile and execution
+# separately instead of mixing them into round-over-round deltas
+LSH_QUERIES = {"docs_minhash_near_dups", "docs_simhash_near_dups"}
+
 SF_CONVS = {"0.001": 180, "0.01": 5500, "0.1": 55000}
 
 
@@ -108,10 +114,17 @@ def main() -> int:
     qs["events_hourly"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
+    lsh_cold_warm: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        if name in LSH_QUERIES:
+            t1 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            lsh_cold_warm[name] = {
+                "cold": times[name], "warm": round(time.time() - t1, 3)
+            }
 
     pipe = bench_pipeline(spark, sf)
     times["pipeline_e2e"] = pipe["wall_s"]
@@ -126,6 +139,7 @@ def main() -> int:
                 "sf": float(sf),
                 "pipeline": pipe,
                 "cpus": cpus,
+                "lsh_cold_warm": lsh_cold_warm,
                 "host_triad8_gbs": health,
                 **_deltas_vs_prev(times),
             }

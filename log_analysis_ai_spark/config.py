@@ -61,6 +61,12 @@ class PipelineConfig:
     # it cuts bytes/turn without losing information (turns_parsed keeps the
     # full schema).
     routed_drop_cols: tuple[str, ...] = ("params", "detected_ts")
+    # Mine-stage shuffle width. None → 4 × spark.sql.shuffle.partitions,
+    # sized for this sandbox's 8-32 cores (balls-in-bins: wider bins keep at
+    # most one hot salted sub-shard per task). On a large cluster set this
+    # explicitly to ≳ salt_buckets × (expected # of hot shards) — at 1000
+    # executors the 4× default can leave hot sub-shards sharing tasks.
+    mine_partitions: int | None = None
     # routing joins the count tables back by broadcast while they stay under
     # this many rows; above it (#windows × #templates over a very long time
     # range) route() falls back to a co-partitioned shuffle join instead of

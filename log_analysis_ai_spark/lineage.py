@@ -25,6 +25,30 @@ of silently serving B's tables.
 
 Reference analog: DuckDB tables are always-readable during the reference's
 rebuilds (python/logai_agent.py:254-281).
+
+Divergences from real Iceberg v2 metadata (documented so a migration to a
+runtime-jar `writeTo()` path is mechanical — no jar ships in this sandbox):
+
+- commit pointer: one `_current.json` per table flipped with os.replace,
+  vs Iceberg's catalog-mediated swap of `vN.metadata.json` (a REST/Hive/
+  Glue catalog arbitrates concurrent committers; this protocol assumes ONE
+  writer per table, which the job runner enforces).
+- manifest layout: a single JSON manifest listing data files with row
+  counts, vs Iceberg's avro manifest-list → manifest hierarchy with
+  per-column value/null counts and bounds (so our readers cannot do
+  metadata-only min/max pruning; Spark's parquet footer pruning still
+  applies at scan time).
+- no schema-evolution or partition-spec metadata: schema lives in the
+  parquet files alone; a column rename is a rewrite here, a metadata edit
+  in Iceberg.
+- no row-level deletes (Iceberg v2 position/equality delete files):
+  deletes are copy-on-write snapshot rewrites.
+- retention: last two snapshots, hardcoded, vs Iceberg's configurable
+  snapshot expiry + orphan-file GC.
+
+What IS equivalent (the semantics the north rule needs): atomic commits,
+immutable snapshots, always-readable tables during rewrite, per-partition
+lineage + metrics rows, and fingerprint-validated idempotent resume.
 """
 
 from __future__ import annotations

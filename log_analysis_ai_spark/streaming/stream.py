@@ -181,7 +181,16 @@ def stream_pipeline_online(
     early rows may erode differently than an unsalted run; template ids are
     content hashes, so identical masked forms still collapse in any
     downstream aggregation. This is the same per-sub-shard semantics batch
-    pass 1 has BEFORE its merge step."""
+    pass 1 has BEFORE its merge step.
+
+    UPGRADE COMPATIBILITY: the r3 change from state key (shard_key) to
+    (shard_key, salt) and the wider ONLINE_OUT_SCHEMA (params, salt columns)
+    are incompatible with checkpoints and sink dirs written by earlier
+    versions — resuming an old checkpoint fails on a state-key/schema
+    mismatch, and appending to an old sink dir mixes parquet schemas.
+    Discard (or version-suffix) both `checkpoint` and `out_path` when
+    upgrading across a state-schema change; Spark's state store has no
+    schema-migration path (ADVICE r3)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     cfg = cfg or PipelineConfig()

@@ -90,3 +90,131 @@ def test_scan_prunes_columns(spark):
     plan = _plan(df)
     read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
     assert "o_orderpriority" not in read_schema  # unused column pruned
+
+
+def _formatted(spark, df) -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_mine_pass1_single_fact_exchange(spark):
+    """Pass 1 (VERDICT r3 next-round #7): the only FACT-scale exchange is
+    the explicit repartition on (shard_key, salt); the second exchange is
+    the catalog-scale cross-salt template dedup AFTER MapInPandas."""
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.fixtures import materialize_transcripts
+    from log_analysis_ai_spark.operators.drain import mined_templates_df, with_shard_key
+
+    t = spark.read.parquet(materialize_transcripts(60))
+    keyed = with_shard_key(t, PipelineConfig(salt_buckets=2))
+    plan = _plan(mined_templates_df(keyed, PipelineConfig(salt_buckets=2)))
+    assert plan.count("Exchange hashpartitioning") == 2
+    fact = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(shard_key" in l and "salt" in l
+    ]
+    assert len(fact) == 1 and "REPARTITION_BY_NUM" in fact[0]
+
+
+def test_assign_pass2_no_exchange(spark):
+    """Pass 2 must run over the input partitioning: mapInPandas + JVM param
+    map assembly, ZERO exchanges (the broadcast catalog is the only data
+    movement, and it is driver->executor, not a shuffle)."""
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.fixtures import materialize_transcripts
+    from log_analysis_ai_spark.operators.drain import (
+        assign_templates,
+        mine_catalog,
+        with_shard_key,
+    )
+
+    cfg = PipelineConfig(salt_buckets=2)
+    t = spark.read.parquet(materialize_transcripts(60))
+    keyed = with_shard_key(t, cfg)
+    assigned = assign_templates(keyed, mine_catalog(keyed, cfg), cfg)
+    assert "Exchange" not in _plan(assigned)
+
+
+def test_route_broadcast_fallback_shape_and_equality(spark):
+    """broadcast_count_limit=0 must flip the count-table joins to shuffle
+    joins (no oversized broadcast at very long time ranges) AND produce
+    bit-equal sink counts (VERDICT r3 next-round #5). Auto-broadcast is
+    disabled so the planner cannot silently re-broadcast the small test
+    tables and void the shape assertion."""
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.fixtures import gen_role_lookup, gen_tool_lookup, gen_transcripts
+    from log_analysis_ai_spark.pipeline import run_pipeline
+
+    t = spark.createDataFrame(gen_transcripts(60))
+    tool_l = spark.createDataFrame(gen_tool_lookup())
+    role_l = spark.createDataFrame(gen_role_lookup())
+    base = run_pipeline(t, tool_l, role_l, PipelineConfig(), persist_keyed=False)
+    expect = sorted(map(tuple, base["sink_counts"].collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = run_pipeline(
+            t, tool_l, role_l,
+            PipelineConfig(broadcast_count_limit=0),
+            persist_keyed=False,
+        )
+        plan = _plan(out["routed"])
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = sorted(map(tuple, out["sink_counts"].collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == expect
+
+
+def test_emb_neardup_bucket_exchange_ships_no_vectors(spark):
+    """The skew-exposed bucket self-join must shuffle only (_id, _bucket);
+    vectors re-attach via the id joins afterwards (VERDICT r3 next-round
+    #3). Checked on the formatted plan: every exchange partitioned on
+    _bucket has a vector-free input."""
+    from log_analysis_ai_spark.operators.similarity import near_dup_embeddings
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        nd = near_dup_embeddings(emb, threshold=0.92, dim=64)
+        fmt = _formatted(spark, nd)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    lines = fmt.splitlines()
+    bucket_exchanges = 0
+    for i, l in enumerate(lines):
+        if "Arguments: hashpartitioning(_bucket" in l.strip():
+            bucket_exchanges += 1
+            # the matching Input [...] line precedes the Arguments line
+            inputs = [x for x in lines[max(0, i - 3): i] if x.strip().startswith("Input")]
+            assert inputs and "_v#" not in inputs[-1] and "embedding" not in inputs[-1]
+    assert bucket_exchanges >= 2  # both self-join sides shuffled narrow
+
+
+def test_pivot_kinds_cover_fixture(spark):
+    """events_pivot_user hardcodes EVENT_KINDS on both engine and oracle
+    side; an unexpected kind in a future fixture must fail HERE instead of
+    silently getting no column in either (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    distinct = {r[0] for r in ev.select(F.col("event_type")).distinct().collect()}
+    assert distinct <= set(entry.EVENT_KINDS)
+
+
+def test_lsh_signature_computed_once(spark):
+    """minhash/simhash/embedding near-dup plans must read the signature
+    stage from ONE materialization (compute_once): both self-join sides
+    scan the checkpointed RDD instead of re-running the signature
+    expressions (HOF lambdas never fold into ReusedExchange — NOTES_r3)."""
+    from log_analysis_ai_spark.operators.dedup import minhash_candidates, simhash_near_dups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand_plan = _plan(minhash_candidates(docs))
+    # signature lives behind the checkpoint: no per-scan recompute nodes
+    assert "ExistingRDD" in cand_plan
+    assert "xxhash64" not in cand_plan  # the 64-hash signature is upstream
+    sim_plan = _plan(simhash_near_dups(docs))
+    assert "ExistingRDD" in sim_plan
+    assert "ArrowEvalPython" not in sim_plan  # bit-fold UDF is upstream

@@ -65,6 +65,29 @@ def test_parse_syslog(spark):
     assert valid.count() == 3 and dead.count() == 1
 
 
+def test_parse_syslog_classic_assume_year(spark):
+    """Classic (year-less) timestamps: NULL ts without assume_year (never a
+    silent 1970 via the generic chain, never a wall-clock year like the
+    reference); the exact instant with one."""
+    import datetime as dt
+
+    lines = [
+        "<34>Oct 11 22:14:15 myhost su[1234]: auth failure",
+        "<34>Jan  5 03:04:05 myhost su[1]: pad check",  # space-padded day
+        "<13>2025-03-01T10:00:00Z host2 prog: iso unaffected",
+    ]
+    no_year = parse_syslog(_lines_df(spark, lines)).collect()
+    assert no_year[0].ts is None and no_year[1].ts is None  # loud, not 1970
+    assert no_year[2].ts == dt.datetime(2025, 3, 1, 10, 0)  # ISO still parses
+    yr = parse_syslog(_lines_df(spark, lines), assume_year=2024).collect()
+    assert yr[0].ts == dt.datetime(2024, 10, 11, 22, 14, 15)
+    assert yr[1].ts == dt.datetime(2024, 1, 5, 3, 4, 5)
+    assert yr[2].ts == dt.datetime(2025, 3, 1, 10, 0)  # ISO wins over assume_year
+    # factory threads the kwarg
+    via_factory = parse_format(_lines_df(spark, lines[:1]), "syslog", assume_year=1999).collect()
+    assert via_factory[0].ts == dt.datetime(1999, 10, 11, 22, 14, 15)
+
+
 def test_parse_logfmt(spark):
     lines = ['ts=2025-03-01T10:00:00 level=info msg="user login ok" user=42 ip=1.2.3.4']
     rows = parse_logfmt(_lines_df(spark, lines)).collect()
