@@ -530,6 +530,51 @@ def _logfmt_roundtrip(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def _events_page_keyset(spark, sf_dir):
+    """Keyset pagination (the scale path logs_page points at): filter on the
+    last-seen (conv_id, turn_idx) key, take the next page — O(page) per page
+    with predicate pushdown, vs OFFSET's number-everything sort."""
+    from log_analysis_ai_spark.queries import logs_page_keyset
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_id").cast("string").alias("conv_id"),
+        F.pmod("event_id", F.lit(7)).cast("int").alias("turn_idx"),
+        "event_type",
+    )
+    return logs_page_keyset(t, limit=100, after=("5000", 3))
+
+
+def _multi_file_merge_roundtrip(spark, sf_dir):
+    """Timestamp-ordered k-way merge of N sources (the reference's
+    priority-queue merge, src/multi_file_reader.h:45-56 — here a union +
+    range-partitioned sort, the shape that survives 1000 executors): events
+    split across two JSONL file sets, merged back, fields parsed."""
+    from log_analysis_ai_spark.sources import multi_file_merge
+
+    ev = _t(spark, sf_dir, "events")
+
+    def render(df):
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.concat(
+                        F.lit("event "), "event_type", F.lit(" id "),
+                        F.col("event_id").cast("string"),
+                    ).alias("message"),
+                    F.lit("INFO").alias("level"),
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+                )
+            ).alias("value")
+        )
+
+    a, b = _scratch("merge_a", sf_dir), _scratch("merge_b", sf_dir)
+    render(ev.filter(F.col("event_id") % 2 == 0)).write.mode("overwrite").text(a)
+    render(ev.filter(F.col("event_id") % 2 == 1)).write.mode("overwrite").text(b)
+    merged = multi_file_merge(spark, [a, b], fmt="jsonl", ts_col="ts")
+    return merged.select("message", "level", "ts")
+
+
 def _orders_cube(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
@@ -810,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_context": _events_error_context,
         "events_causal_window": _events_causal_window,
         "orders_cube": _orders_cube,
+        "events_page_keyset": _events_page_keyset,
+        "multi_file_merge_roundtrip": _multi_file_merge_roundtrip,
         "cef_roundtrip": _cef_roundtrip,
         "log4j_roundtrip": _log4j_roundtrip,
         "csv_dimensions_roundtrip": _csv_dimensions_roundtrip,
@@ -1182,6 +1229,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, count(*) AS n
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "events_page_keyset": """
+            SELECT conv_id, turn_idx, event_type FROM (
+              SELECT CAST(event_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INT) AS turn_idx, event_type
+              FROM events)
+            WHERE conv_id > '5000' OR (conv_id = '5000' AND turn_idx > 3)
+            ORDER BY conv_id, turn_idx LIMIT 100
+        """,
+        "multi_file_merge_roundtrip": """
+            SELECT 'event ' || event_type || ' id ' || CAST(event_id AS VARCHAR) AS message,
+                   'INFO' AS level,
+                   date_trunc('second', ts) AS ts
+            FROM events
         """,
         "cef_roundtrip": """
             SELECT event_id, 'Acme' AS vendor,
