@@ -65,6 +65,37 @@ def test_parse_syslog(spark):
     assert valid.count() == 3 and dead.count() == 1
 
 
+def test_regex_groups_matches_regexp_extract(spark):
+    """One-pass group extraction (regex_groups_col) must equal per-group
+    regexp_extract on every edge: unanchored patterns with multiple
+    matches, no match, match at position 0, separator-byte rows (slow
+    path), empty string, empty trailing group — and the optimized parser
+    plan must contain exactly ONE regexp_replace (the whole point)."""
+    from log_analysis_ai_spark.sources.readers import _SEP, parse_syslog, regex_groups_col
+
+    cases = [
+        "abc 123 def 456",
+        "no digits here",
+        "123 at start",
+        f"sep{_SEP}byte 99 here",
+        "",
+        "trailing 77 ",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "value string")
+    pat = r"(\d+) (\w*)"
+    c = F.col("value")
+    out = df.withColumn("_gp", regex_groups_col(c, pat, 2)).select(
+        F.element_at("_gp", 1).alias("fast1"),
+        F.element_at("_gp", 2).alias("fast2"),
+        F.when(c.rlike(pat), F.regexp_extract(c, pat, 1)).alias("ref1"),
+        F.when(c.rlike(pat), F.regexp_extract(c, pat, 2)).alias("ref2"),
+    )
+    for r in out.collect():
+        assert r.fast1 == r.ref1 and r.fast2 == r.ref2
+    plan = parse_syslog(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 1
+
+
 def test_parse_syslog_classic_assume_year(spark):
     """Classic (year-less) timestamps: NULL ts without assume_year (never a
     silent 1970 via the generic chain, never a wall-clock year like the
