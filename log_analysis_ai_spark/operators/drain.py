@@ -189,121 +189,106 @@ def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list
     }
 
 
-def assign_templates(
-    df_with_keys: DataFrame, catalogs: dict[str, list[list[str]]], cfg: PipelineConfig
-) -> DataFrame:
-    """Pass 2: broadcast the final catalog; match every row; emit
-    template_id / template_str / params columns."""
-    spark = df_with_keys.sparkSession
-    # broadcast SLIM: template strings only — ids, token lists, wildcard
-    # positions and param names are derivable, so each worker rebuilds them
-    # once per shard (cached across Arrow batches) instead of the driver
-    # pickling the expanded form into the broadcast (the driver-serial
-    # broadcast build is the one non-distributed step of pass 2)
-    slim = {skey: [" ".join(tpl) for tpl in cats] for skey, cats in catalogs.items()}
-    empty_id = template_id(dc.EMPTY_TEMPLATE)
-    bc = spark.sparkContext.broadcast(slim)
+import numpy as np
 
-    def _entry(s: str) -> tuple:
-        tpl = s.split(" ")
-        wc = [i for i, t in enumerate(tpl) if t == dc.WILDCARD]
-        return (tpl, s, template_id(s), wc)
-    sim = cfg.sim_threshold
-    pats = tuple(cfg.preprocess_patterns)
+
+def _cand_entry(s: str) -> tuple:
+    """Expanded candidate template: (tokens, string, id, wildcard positions)."""
+    tpl = s.split(" ")
+    wc = [i for i, t in enumerate(tpl) if t == dc.WILDCARD]
+    return (tpl, s, template_id(s), wc)
+
+
+def _assign_shard(toks_mat: "np.ndarray", cand: list) -> tuple:
+    """Vectorized pass-2 match for one shard: all rows share token count
+    (the shard key embeds it), so similarity is a 2-D equality fold."""
+    n, length = toks_mat.shape
+    best_sim = np.full(n, -1.0)
+    best_idx = np.full(n, -1, dtype=np.int64)
+    for i, (tpl, *_rest) in enumerate(cand):
+        if len(tpl) != length:
+            continue
+        t = np.asarray(tpl, dtype=object)
+        hits = ((toks_mat == t) | (t == dc.WILDCARD)).mean(axis=1) if length else np.ones(n)
+        better = hits > best_sim  # strict >: earliest-created wins ties
+        best_idx[better] = i
+        best_sim[better] = hits[better]
+    return best_idx, best_sim
+
+
+_EMPTY_VALS: list[str] = []  # shared, never mutated
+_EMPTY_ID = template_id(dc.EMPTY_TEMPLATE)
+
+
+def _assign_pdf(pdf: pd.DataFrame, cand_for, sim: float, pats: tuple) -> pd.DataFrame:
+    """Match one pandas batch against its shards' candidates (cand_for:
+    shard_key -> expanded candidate list). Shared by the broadcast and
+    cogrouped pass-2 paths — emits template_id / template_str / _pvals."""
+    pdf = pdf.reset_index(drop=True)
+    texts = pdf["text"].astype(str)
+    pre_np = preprocess_series(texts, pats).to_numpy()
+    n = len(pdf)
+    ids = np.full(n, _EMPTY_ID, dtype=np.int64)
+    strs = np.full(n, dc.EMPTY_TEMPLATE, dtype=object)
+    pvals: list = [_EMPTY_VALS] * n
+    nonempty = texts != ""
+    # .groups: row labels == positions (index was reset above)
+    for skey, rows in pdf[nonempty].groupby("shard_key").groups.items():
+        rows = np.asarray(rows)
+        # all rows of a shard share token count (the key embeds it),
+        # so the token matrix is a dense 2-D object array
+        toks_mat = np.array([pre_np[r].split(" ") for r in rows], dtype=object)
+        cand = cand_for(skey)
+        if cand:
+            best_idx, best_sim = _assign_shard(toks_mat, cand)
+        else:
+            best_idx = np.full(len(rows), -1, dtype=np.int64)
+            best_sim = np.zeros(len(rows))
+        ok = (best_idx >= 0) & (best_sim >= sim)
+        ok_pos = np.flatnonzero(ok)
+        # vectorized per (shard, template) group: one fancy-index
+        # slice extracts every matched row's wildcard tokens at once
+        # (no per-row dict/extract loop — VERDICT r2 item 1)
+        for ti in np.unique(best_idx[ok_pos]) if len(ok_pos) else ():
+            sel = ok_pos[best_idx[ok_pos] == ti]
+            _, tstr, tid, wc = cand[ti]
+            out_rows = rows[sel]
+            ids[out_rows] = tid
+            strs[out_rows] = tstr
+            if wc:
+                vals = toks_mat[np.ix_(sel, wc)].tolist()
+                for r, v in zip(out_rows, vals):  # scatter only
+                    pvals[r] = v
+        for j in np.flatnonzero(~ok):  # unseen (assign-only/streaming)
+            r = rows[j]
+            toks = toks_mat[j]
+            tpl = [dc.mask_token(t) for t in toks]
+            tstr = " ".join(tpl)
+            ids[r] = template_id(tstr)
+            strs[r] = tstr
+            pvals[r] = [t for t, c in zip(toks, tpl) if c == dc.WILDCARD]
+    out = pdf.copy()
+    out["template_id"] = ids
+    out["template_str"] = strs
+    out["_pvals"] = pvals
+    return out
+
+
+def _assign_out_schema(df_with_keys: DataFrame) -> str:
     # Python emits only the wildcard-position TOKENS (`_pvals`); the
-    # params map itself is assembled JVM-side (map_from_arrays over names
-    # derived from template_str) so no per-row dict is ever built in Python
-    # — and when a downstream plan drops `params` (the slim routed fanout),
-    # Catalyst prunes the whole map build for free.
-    out_schema = ", ".join(
+    # params map itself is assembled JVM-side (_attach_params) so no
+    # per-row dict is ever built in Python — and when a downstream plan
+    # drops `params`, Catalyst prunes the whole map build for free.
+    return ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df_with_keys.schema.fields
     ) + ", template_id long, template_str string, _pvals array<string>"
 
-    import numpy as np
 
-    def _assign_shard(toks_mat: "np.ndarray", cand: list) -> tuple:
-        """Vectorized pass-2 match for one shard: all rows share token count
-        (the shard key embeds it), so similarity is a 2-D equality fold."""
-        n, length = toks_mat.shape
-        best_sim = np.full(n, -1.0)
-        best_idx = np.full(n, -1, dtype=np.int64)
-        for i, (tpl, *_rest) in enumerate(cand):
-            if len(tpl) != length:
-                continue
-            t = np.asarray(tpl, dtype=object)
-            hits = ((toks_mat == t) | (t == dc.WILDCARD)).mean(axis=1) if length else np.ones(n)
-            better = hits > best_sim  # strict >: earliest-created wins ties
-            best_idx[better] = i
-            best_sim[better] = hits[better]
-        return best_idx, best_sim
-
-    expanded: dict[str, list] = {}  # worker-local cache, persists across batches
-
-    def _cand(skey: str) -> list:
-        c = expanded.get(skey)
-        if c is None:
-            c = [_entry(s) for s in bc.value.get(skey, [])]
-            expanded[skey] = c
-        return c
-
-    _EMPTY_VALS: list[str] = []  # shared, never mutated
-
-    def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.reset_index(drop=True)
-            texts = pdf["text"].astype(str)
-            pre_np = preprocess_series(texts, pats).to_numpy()
-            n = len(pdf)
-            ids = np.full(n, empty_id, dtype=np.int64)
-            strs = np.full(n, dc.EMPTY_TEMPLATE, dtype=object)
-            pvals: list = [_EMPTY_VALS] * n
-            nonempty = texts != ""
-            # .groups: row labels == positions (index was reset above)
-            for skey, rows in pdf[nonempty].groupby("shard_key").groups.items():
-                rows = np.asarray(rows)
-                # all rows of a shard share token count (the key embeds it),
-                # so the token matrix is a dense 2-D object array
-                toks_mat = np.array([pre_np[r].split(" ") for r in rows], dtype=object)
-                cand = _cand(skey)
-                if cand:
-                    best_idx, best_sim = _assign_shard(toks_mat, cand)
-                else:
-                    best_idx = np.full(len(rows), -1, dtype=np.int64)
-                    best_sim = np.zeros(len(rows))
-                ok = (best_idx >= 0) & (best_sim >= sim)
-                ok_pos = np.flatnonzero(ok)
-                # vectorized per (shard, template) group: one fancy-index
-                # slice extracts every matched row's wildcard tokens at once
-                # (no per-row dict/extract loop — VERDICT r2 item 1)
-                for ti in np.unique(best_idx[ok_pos]) if len(ok_pos) else ():
-                    sel = ok_pos[best_idx[ok_pos] == ti]
-                    _, tstr, tid, wc = cand[ti]
-                    out_rows = rows[sel]
-                    ids[out_rows] = tid
-                    strs[out_rows] = tstr
-                    if wc:
-                        vals = toks_mat[np.ix_(sel, wc)].tolist()
-                        for r, v in zip(out_rows, vals):  # scatter only
-                            pvals[r] = v
-                for j in np.flatnonzero(~ok):  # unseen (assign-only/streaming)
-                    r = rows[j]
-                    toks = toks_mat[j]
-                    tpl = [dc.mask_token(t) for t in toks]
-                    tstr = " ".join(tpl)
-                    ids[r] = template_id(tstr)
-                    strs[r] = tstr
-                    pvals[r] = [t for t, c in zip(toks, tpl) if c == dc.WILDCARD]
-            out = pdf.copy()
-            out["template_id"] = ids
-            out["template_str"] = strs
-            out["_pvals"] = pvals
-            yield out
-
-    mapped = df_with_keys.mapInPandas(assign_fn, schema=out_schema)
-    # params map assembled JVM-side: names are "param_<token index>" for the
-    # wildcard positions of template_str (matches drain_core.extract_params;
-    # property-tested). Codegen over catalog-sized strings — and pruned away
-    # entirely when a caller drops `params`.
+def _attach_params(mapped: DataFrame) -> DataFrame:
+    """params map assembled JVM-side: names are "param_<token index>" for the
+    wildcard positions of template_str (matches drain_core.extract_params;
+    property-tested). Codegen over catalog-sized strings — and pruned away
+    entirely when a caller drops `params`."""
     tpl_toks = F.split(F.col("template_str"), " ")
     wc_pos = F.filter(
         F.transform(tpl_toks, lambda t, i: F.when(t == F.lit(dc.WILDCARD), i).otherwise(F.lit(-1))),
@@ -311,6 +296,130 @@ def assign_templates(
     )
     names = F.transform(wc_pos, lambda p: F.concat(F.lit("param_"), p.cast("string")))
     return mapped.withColumn("params", F.map_from_arrays(names, F.col("_pvals"))).drop("_pvals")
+
+
+def assign_templates(
+    df_with_keys: DataFrame, catalogs: dict[str, list[list[str]]], cfg: PipelineConfig
+) -> DataFrame:
+    """Pass 2: broadcast the final catalog; match every row; emit
+    template_id / template_str / params columns. For catalogs too large to
+    broadcast, use assign_templates_cogrouped instead (same output,
+    catalog never passes through the driver)."""
+    spark = df_with_keys.sparkSession
+    # broadcast SLIM: template strings only — ids, token lists, wildcard
+    # positions and param names are derivable, so each worker rebuilds them
+    # once per shard (cached across Arrow batches) instead of the driver
+    # pickling the expanded form into the broadcast (the driver-serial
+    # broadcast build is the one non-distributed step of pass 2)
+    slim = {skey: [" ".join(tpl) for tpl in cats] for skey, cats in catalogs.items()}
+    bc = spark.sparkContext.broadcast(slim)
+    sim = cfg.sim_threshold
+    pats = tuple(cfg.preprocess_patterns)
+
+    expanded: dict[str, list] = {}  # worker-local cache, persists across batches
+
+    def _cand(skey: str) -> list:
+        c = expanded.get(skey)
+        if c is None:
+            c = [_cand_entry(s) for s in bc.value.get(skey, [])]
+            expanded[skey] = c
+        return c
+
+    def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _assign_pdf(pdf, _cand, sim, pats)
+
+    mapped = df_with_keys.mapInPandas(assign_fn, schema=_assign_out_schema(df_with_keys))
+    return _attach_params(mapped)
+
+
+def assign_templates_cogrouped(
+    df_with_keys: DataFrame, mined_tdf: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Pass 2 WITHOUT a driver broadcast — the module docstring's "catalog
+    too large to broadcast" swap, implemented.
+
+    Cogroups each (shard_key, salt) slice of the fact table with its
+    shard's catalog rows (from `mined_templates_df`, which never leaves
+    the cluster): the catalog side is replicated across the salt dimension
+    — catalog rows ≪ fact rows, so salt_buckets× replication is noise —
+    and each group matches with exactly the same vectorized core as the
+    broadcast path (bit-equality is tested). Creation order (the tie-break
+    contract) is restored per group by sorting catalog rows on their
+    (salt, pos) first-appearance struct.
+
+    Cost vs broadcast: one grouped-map Arrow exchange per (shard, salt)
+    group plus the fact shuffle on the group key — the price of never
+    materializing the catalog on one machine. Use when template
+    cardinality outgrows broadcast capacity (e.g. 10^7+ distinct masked
+    prefixes at 10^12 rows); `mine_and_assign` stays on the broadcast
+    path for the common catalog-is-tiny regime."""
+    sim = cfg.sim_threshold
+    pats = tuple(cfg.preprocess_patterns)
+    cat = mined_tdf.select(
+        "shard_key",
+        F.col("first.salt").alias("_csalt"),
+        F.col("first.pos").alias("_cpos"),
+        "template",
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(cfg.salt_buckets - 1))))
+
+    def fn(key, fact_pdf: pd.DataFrame, cat_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(fact_pdf) == 0:
+            return fact_pdf.assign(template_id=pd.Series(dtype="int64"),
+                                   template_str=pd.Series(dtype="object"),
+                                   _pvals=pd.Series(dtype="object"))
+        cat_sorted = cat_pdf.sort_values(["_csalt", "_cpos"], kind="mergesort")
+        cand = [_cand_entry(s) for s in cat_sorted["template"]]
+        return _assign_pdf(fact_pdf, lambda _skey: cand, sim, pats)
+
+    mapped = (
+        df_with_keys.groupBy("shard_key", "salt")
+        .cogroup(cat.groupBy("shard_key", "salt"))
+        .applyInPandas(fn, schema=_assign_out_schema(df_with_keys))
+    )
+    return _attach_params(mapped)
+
+
+def templates_table_distributed(spark: SparkSession, mined_tdf: DataFrame) -> DataFrame:
+    """The templates catalog table derived WITHOUT a driver collect —
+    companion to assign_templates_cogrouped for the huge-catalog regime.
+    template ids are xxhash64(template) (hashing.template_id == Spark's
+    xxhash64 at seed 42, parity-tested), duplicates across shards keep the
+    lexicographically smallest shard_key (same rule as templates_table's
+    sorted-first-appearance); the reserved <EMPTY> row is unioned in."""
+    tbl = (
+        mined_tdf.groupBy("template")
+        .agg(F.min("shard_key").alias("_skey"))
+        .select(
+            F.xxhash64("template").alias("template_id"),
+            F.col("template").alias("template_str"),
+            F.size(F.split("template", " ")).cast("int").alias("token_count"),
+            F.xxhash64("_skey").alias("shard_key"),
+        )
+    )
+    empty = spark.createDataFrame(
+        [(template_id(dc.EMPTY_TEMPLATE), dc.EMPTY_TEMPLATE, 0, xxh64("0|"))],
+        "template_id long, template_str string, token_count int, shard_key long",
+    )
+    return tbl.unionByName(empty)
+
+
+def mine_and_assign_distributed(
+    df: DataFrame, cfg: PipelineConfig | None = None, persist: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """mine_and_assign for the catalog-too-large-to-broadcast regime: the
+    mined template table feeds assignment and the templates catalog
+    entirely cluster-side — the ONLY driver-side action is triggering the
+    jobs. Output is bit-identical to mine_and_assign (tested); the
+    difference is physical: grouped-map cogroup instead of a broadcast."""
+    cfg = cfg or PipelineConfig()
+    keyed = with_shard_key(df, cfg)
+    if persist:
+        keyed = keyed.persist()
+    mined = mined_templates_df(keyed, cfg).persist()
+    assigned = assign_templates_cogrouped(keyed, mined, cfg).drop("salt", "shard_key")
+    templates = templates_table_distributed(df.sparkSession, mined)
+    return assigned, templates, keyed
 
 
 def templates_table(spark: SparkSession, catalogs: dict[str, list[list[str]]]) -> DataFrame:
