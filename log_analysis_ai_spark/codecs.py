@@ -179,6 +179,401 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return s, rate
 
 
+# ---------------------------------------------------------------- JPEG
+#
+# Baseline sequential JFIF (SOF0), 8-bit, 4:4:4 (no chroma subsampling),
+# standard Annex-K quantization + Huffman tables, from the public JPEG
+# spec (ITU-T T.81) — pure stdlib+numpy, no PIL. The encoder always emits
+# this profile; the decoder accepts it and raises NotImplementedError for
+# profiles that genuinely need a full library (progressive SOF2,
+# subsampled chroma, restart markers, arithmetic coding).
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 quantization tables (luminance, chrominance), natural order.
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# Annex K.3 Huffman specs: (BITS counts per code length 1..16, HUFFVAL).
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical T.81 assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, the inverse of _huff_codes."""
+    return {(l, c): s for s, (c, l) in _huff_codes(bits, vals).items()}
+
+
+_DCT = np.array([
+    [np.sqrt((1.0 if k == 0 else 2.0) / 8.0) * np.cos((2 * n + 1) * k * np.pi / 16.0)
+     for n in range(8)]
+    for k in range(8)
+])
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(max(int(quality), 1), 100)
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    tl = np.clip(np.floor((_QL * scale + 50.0) / 100.0), 1, 255)
+    tc = np.clip(np.floor((_QC * scale + 50.0) / 100.0), 1, 255)
+    return tl, tc
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    return np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    return np.clip(np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1s
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(category size, magnitude code) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _blocks(chan: np.ndarray) -> np.ndarray:
+    """(n_blocks_y, n_blocks_x, 8, 8) view of an 8-padded channel."""
+    h, w = chan.shape
+    return chan.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as baseline JFIF (SOF0, 4:4:4)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    tl, tc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(img)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+
+    dc_tabs = (_huff_codes(*_DC_L), _huff_codes(*_DC_C))
+    ac_tabs = (_huff_codes(*_AC_L), _huff_codes(*_AC_C))
+    qts = (tl, tc, tc)
+    comp_tab = (0, 1, 1)
+
+    # DCT + quantize every block of every component up front (vectorized)
+    quants = []
+    for ci in range(3):
+        blocks = _blocks(pad[..., ci] - 128.0)
+        coef = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+        qt = qts[ci].reshape(8, 8)
+        quants.append(np.round(coef / qt).astype(np.int64))
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(3):  # 4:4:4 -> one block per component per MCU
+                zz = quants[ci][by, bx].ravel()[_ZIGZAG]
+                dc_t, ac_t = dc_tabs[comp_tab[ci]], ac_tabs[comp_tab[ci]]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size, mag = _mag_bits(diff)
+                code, ln = dc_t[size]
+                bw.put(code, ln)
+                if size:
+                    bw.put(mag, size)
+                run = 0
+                nz = np.flatnonzero(zz[1:])
+                last = nz[-1] + 1 if len(nz) else 0
+                for i in range(1, last + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_t[0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    size, mag = _mag_bits(v)
+                    code, ln = ac_t[(run << 4) | size]
+                    bw.put(code, ln)
+                    bw.put(mag, size)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_t[0x00]  # EOB
+                    bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in table[_ZIGZAG]))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt(0, tl) + dqt(1, tc)
+        + dht(0, 0, _DC_L) + dht(1, 0, _AC_L) + dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
+        + sof + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:  # stuffing: FF 00 means literal FF
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(mag: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline sequential JFIF (SOF0, 8-bit, 4:4:4) to (h, w, 3)
+    uint8 RGB. Raises NotImplementedError for profiles that need a full
+    library: progressive (SOF2), subsampled chroma, restart intervals,
+    arithmetic coding, 12-bit."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_maps: dict[int, dict] = {}
+    ac_maps: dict[int, dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, q_table)
+    scan: list[tuple[int, int, int]] = []   # (comp idx, dc table, ac table)
+    data = b""
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                t = np.zeros(64)
+                t[_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qtabs[tid] = t
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                (dc_maps if cls == 0 else ac_maps)[tid] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xFFC0:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG supported")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                # single-component scans ignore sampling factors (T.81
+                # A.2.2: a non-interleaved scan's MCU is one data unit)
+                if samp != 0x11 and nc > 1:
+                    raise NotImplementedError(
+                        "subsampled chroma requires a full JPEG library"
+                    )
+                comps.append((cid, samp, tq))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+            raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            for si in range(ns):
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, (c, _, _) in enumerate(comps) if c == cid)
+                scan.append((idx, tabs >> 4, tabs & 0xF))
+            data = payload[pos + 2 + length :]
+            break
+        pos += 2 + length
+    if h is None or not scan:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((ph, pw, len(comps)))
+    br = _BitReader(data)
+    pred = [0] * len(comps)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for idx, dct, act in scan:
+                zz = np.zeros(64, dtype=np.float64)
+                size = _huff_read(br, dc_maps[dct])
+                diff = _extend(br.bits(size), size) if size else 0
+                pred[idx] += diff
+                zz[0] = pred[idx]
+                k = 1
+                while k < 64:
+                    sym = _huff_read(br, ac_maps[act])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC run/size")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                coef = np.zeros(64)
+                coef[_ZIGZAG] = zz
+                coef = coef.reshape(8, 8) * qtabs[comps[idx][2]].reshape(8, 8)
+                block = _DCT.T @ coef @ _DCT + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, idx] = block
+    if len(comps) == 1:  # grayscale: replicate Y
+        y = np.clip(out[:h, :w, 0].round(), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(y[..., None], 3, axis=2))
+    rgb = _ycbcr_to_rgb(out[:h, :w])
+    return np.ascontiguousarray(rgb)
+
+
 # ---------------------------------------------------------------- ops
 
 def resize_nearest(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:

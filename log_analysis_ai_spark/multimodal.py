@@ -5,10 +5,13 @@ The Spark-side machinery — schemas, Arrow batch shapes, `mapInPandas`
 decode/feature/resize/frame-sample operators, partitioning by media type —
 is real and tested. The codec layer (codecs.py) is REAL for the formats
 pure stdlib+numpy can decode: PNG (zlib inflate + scanline unfilter),
-uncompressed 24-bit BMP, and PCM WAV. JPEG and MP4/video genuinely need
-external libraries (PIL/ffmpeg) this container does not ship, so those
-mimes are stubbed: `decode_stub=True` (default) substitutes a
-deterministic fake decode for UNSUPPORTED mimes only — supported mimes
+uncompressed 24-bit BMP, PCM WAV, and baseline-sequential JPEG (SOF0,
+4:4:4 or grayscale — standard Annex-K Huffman/quant tables, from-scratch
+DCT + entropy coder; round-trip PSNR-tested and validated against an
+externally produced JPEG). Progressive/subsampled JPEG and MP4/video
+genuinely need external libraries (PIL/ffmpeg) this container does not
+ship, so those are stubbed: `decode_stub=True` (default) substitutes a
+deterministic fake decode for UNSUPPORTED payloads only — supported ones
 always decode for real — while `decode_stub=False` raises
 NotImplementedError at the exact plug point.
 """
@@ -42,6 +45,8 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     kinds = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
     for i in range(n):
         kind, mime = kinds[i % 3]
+        if kind == "image" and (i // 3) % 2 == 1:
+            mime = "image/jpeg"  # alternate PNG / baseline JPEG payloads
         w, h = 64 + i % 32, 48 + i % 16
         dur = 1000 * (1 + i % 7)
         if kind == "image":
@@ -54,7 +59,11 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 ],
                 axis=2,
             ).astype(np.uint8)
-            payload = codecs.encode_png(img)
+            payload = (
+                codecs.encode_jpeg(img, quality=92)
+                if mime == "image/jpeg"
+                else codecs.encode_png(img)
+            )
         elif kind == "audio":
             t = np.arange(0, 1600) / 16000.0
             f0 = 220.0 + 20.0 * (i % 13)
@@ -81,13 +90,16 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         return codecs.decode_png(payload)
     if mime == "image/bmp":
         return codecs.decode_bmp(payload)
+    if mime == "image/jpeg":
+        return codecs.decode_jpeg(payload)  # baseline SOF0 (codecs.py)
     raise NotImplementedError(f"decode for {mime} requires PIL — not in this container")
 
 
 def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode → per-media feature vector, Arrow-batched.
 
-    image/png, image/bmp: real decode (codecs.py) → 4x4 grid + RGB means.
+    image/png, image/bmp, baseline image/jpeg: real decode (codecs.py)
+    → 4x4 grid + RGB means.
     audio/wav: real PCM decode → rms/zcr/centroid/band energies.
     other mimes: deterministic fake when `decode_stub` (the honest plug
     point), NotImplementedError otherwise.
@@ -101,7 +113,7 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                 pdf["payload"], pdf["mime"], pdf["width"], pdf["height"]
             ):
                 b = bytes(payload)
-                if mime in ("image/png", "image/bmp"):
+                if mime in ("image/png", "image/bmp", "image/jpeg"):
                     vec = codecs.image_features(decode_image(b, mime), FEATURE_DIM)
                 elif mime == "audio/wav":
                     vec = codecs.audio_features(*codecs.decode_wav(b), dim=FEATURE_DIM)
@@ -139,7 +151,7 @@ def resize_images(
                 pdf["payload"], pdf["mime"], pdf["width"], pdf["height"]
             ):
                 b = bytes(payload)
-                if mime in ("image/png", "image/bmp"):
+                if mime in ("image/png", "image/bmp", "image/jpeg"):
                     img = decode_image(b, mime)
                 elif decode_stub:
                     img = _fake_decode(b, int(w), int(h))

@@ -67,21 +67,24 @@ def test_real_decode_no_stub_for_supported_mimes(spark):
 
 
 def test_resize_images_real_roundtrip(spark):
-    """resize_images now REALLY decodes (PNG codec), resizes, re-encodes:
-    each output payload must be a decodable 16x16 PNG equal to the
-    nearest-resize of the original decoded image."""
+    """resize_images REALLY decodes (PNG or baseline JPEG per the source
+    mime), resizes, re-encodes: each output payload must be a decodable
+    16x16 PNG equal to the nearest-resize of the original decoded image."""
     import numpy as np
 
     from log_analysis_ai_spark import codecs
+    from log_analysis_ai_spark.multimodal import decode_image
 
     media = synth_media(spark, 12)
     out = {r.media_id: r for r in resize_images(media, size=(16, 16)).collect()}
     src = {r.media_id: r for r in media.filter(F.col("kind") == "image").collect()}
-    assert set(out) == set(src)
+    assert {r.mime for r in src.values()} == {"image/png", "image/jpeg"}
     for mid, r in out.items():
         assert r.width == 16 and r.height == 16
         got = codecs.decode_png(bytes(r.payload))
-        want = codecs.resize_nearest(codecs.decode_png(bytes(src[mid].payload)), (16, 16))
+        want = codecs.resize_nearest(
+            decode_image(bytes(src[mid].payload), src[mid].mime), (16, 16)
+        )
         assert np.array_equal(got, want)
 
 
