@@ -464,10 +464,11 @@ def _extend(mag: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline sequential JFIF (SOF0, 8-bit, 4:4:4) to (h, w, 3)
-    uint8 RGB. Raises NotImplementedError for profiles that need a full
-    library: progressive (SOF2), subsampled chroma, restart intervals,
-    arithmetic coding, 12-bit."""
+    """Decode baseline sequential JFIF (SOF0, 8-bit; 4:4:4, 4:2:2, 4:2:0
+    or grayscale) to (h, w, 3) uint8 RGB. Chroma planes are upsampled by
+    replication. Raises NotImplementedError for profiles that need a full
+    library: progressive (SOF2), restart intervals, arithmetic coding,
+    12-bit."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -511,12 +512,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit baseline JPEG supported")
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                # single-component scans ignore sampling factors (T.81
-                # A.2.2: a non-interleaved scan's MCU is one data unit)
-                if samp != 0x11 and nc > 1:
-                    raise NotImplementedError(
-                        "subsampled chroma requires a full JPEG library"
-                    )
                 comps.append((cid, samp, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
@@ -534,43 +529,69 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if h is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    out = np.zeros((ph, pw, len(comps)))
+    # General interleaved-MCU geometry (T.81 A.2.3): an MCU carries
+    # h_i × v_i blocks of component i; each component's plane is sampled at
+    # (h_i/hmax, v_i/vmax) of full resolution and is replicated back up
+    # after decode (covers 4:4:4, 4:2:2 and the ubiquitous 4:2:0).
+    # A single-component scan is non-interleaved: one data unit per MCU
+    # regardless of declared sampling factors (T.81 A.2.2).
+    nc = len(comps)
+    if len(scan) == 1:
+        hs, vs = [1] * nc, [1] * nc
+    else:
+        hs = [comps[i][1] >> 4 for i in range(nc)]
+        vs = [comps[i][1] & 0xF for i in range(nc)]
+    hmax, vmax = max(hs), max(vs)
+    if any(hmax % x or x < 1 for x in hs) or any(vmax % x or x < 1 for x in vs):
+        raise NotImplementedError("non-integer chroma sampling ratios unsupported")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * 8 * vs[i], mcux * 8 * hs[i])) for i in range(nc)]
     br = _BitReader(data)
-    pred = [0] * len(comps)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
             for idx, dct, act in scan:
-                zz = np.zeros(64, dtype=np.float64)
-                size = _huff_read(br, dc_maps[dct])
-                diff = _extend(br.bits(size), size) if size else 0
-                pred[idx] += diff
-                zz[0] = pred[idx]
-                k = 1
-                while k < 64:
-                    sym = _huff_read(br, ac_maps[act])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("invalid AC run/size")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coef = np.zeros(64)
-                coef[_ZIGZAG] = zz
-                coef = coef.reshape(8, 8) * qtabs[comps[idx][2]].reshape(8, 8)
-                block = _DCT.T @ coef @ _DCT + 128.0
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, idx] = block
-    if len(comps) == 1:  # grayscale: replicate Y
-        y = np.clip(out[:h, :w, 0].round(), 0, 255).astype(np.uint8)
+                for byy in range(vs[idx]):
+                    for bxx in range(hs[idx]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        size = _huff_read(br, dc_maps[dct])
+                        diff = _extend(br.bits(size), size) if size else 0
+                        pred[idx] += diff
+                        zz[0] = pred[idx]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_read(br, ac_maps[act])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("invalid AC run/size")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[_ZIGZAG] = zz
+                        coef = coef.reshape(8, 8) * qtabs[comps[idx][2]].reshape(8, 8)
+                        block = _DCT.T @ coef @ _DCT + 128.0
+                        y0 = (my * vs[idx] + byy) * 8
+                        x0 = (mx * hs[idx] + bxx) * 8
+                        planes[idx][y0 : y0 + 8, x0 : x0 + 8] = block
+    full = np.stack(
+        [
+            np.repeat(np.repeat(planes[i], vmax // vs[i], axis=0), hmax // hs[i], axis=1)
+            for i in range(nc)
+        ],
+        axis=-1,
+    )[:h, :w]
+    if nc == 1:  # grayscale: replicate Y
+        y = np.clip(full[..., 0].round(), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(y[..., None], 3, axis=2))
-    rgb = _ycbcr_to_rgb(out[:h, :w])
+    rgb = _ycbcr_to_rgb(full)
     return np.ascontiguousarray(rgb)
 
 

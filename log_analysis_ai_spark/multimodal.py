@@ -5,10 +5,11 @@ The Spark-side machinery — schemas, Arrow batch shapes, `mapInPandas`
 decode/feature/resize/frame-sample operators, partitioning by media type —
 is real and tested. The codec layer (codecs.py) is REAL for the formats
 pure stdlib+numpy can decode: PNG (zlib inflate + scanline unfilter),
-uncompressed 24-bit BMP, PCM WAV, and baseline-sequential JPEG (SOF0,
-4:4:4 or grayscale — standard Annex-K Huffman/quant tables, from-scratch
-DCT + entropy coder; round-trip PSNR-tested and validated against an
-externally produced JPEG). Progressive/subsampled JPEG and MP4/video
+uncompressed 24-bit BMP, PCM WAV, and baseline-sequential JPEG (SOF0 —
+encode at 4:4:4; decode also 4:2:0/4:2:2/grayscale — standard Annex-K
+Huffman/quant tables, from-scratch DCT + entropy coder; round-trip
+PSNR-tested and validated against externally produced libjpeg files,
+including a real 4:2:0 photograph). Progressive JPEG and MP4/video
 genuinely need external libraries (PIL/ffmpeg) this container does not
 ship, so those are stubbed: `decode_stub=True` (default) substitutes a
 deterministic fake decode for UNSUPPORTED payloads only — supported ones
