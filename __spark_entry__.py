@@ -545,6 +545,20 @@ def _events_page_keyset(spark, sf_dir):
     return logs_page_keyset(t, limit=100, after=("5000", 3))
 
 
+def _events_page_offset(spark, sf_dir):
+    """OFFSET pagination (the reference-compatible logs_page) — kept next
+    to the keyset variant so both paging contracts are driver-checked."""
+    from log_analysis_ai_spark.queries import logs_page
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_id").cast("string").alias("conv_id"),
+        F.pmod("event_id", F.lit(7)).cast("int").alias("turn_idx"),
+        "event_type",
+    )
+    return logs_page(t, limit=100, offset=250).orderBy("conv_id", "turn_idx")
+
+
 def _multi_file_merge_roundtrip(spark, sf_dir):
     """Timestamp-ordered k-way merge of N sources (the reference's
     priority-queue merge, src/multi_file_reader.h:45-56 — here a union +
@@ -856,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_causal_window": _events_causal_window,
         "orders_cube": _orders_cube,
         "events_page_keyset": _events_page_keyset,
+        "events_page_offset": _events_page_offset,
         "multi_file_merge_roundtrip": _multi_file_merge_roundtrip,
         "cef_roundtrip": _cef_roundtrip,
         "log4j_roundtrip": _log4j_roundtrip,
@@ -1237,6 +1252,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE conv_id > '5000' OR (conv_id = '5000' AND turn_idx > 3)
             ORDER BY conv_id, turn_idx LIMIT 100
+        """,
+        "events_page_offset": """
+            SELECT conv_id, turn_idx, event_type FROM (
+              SELECT CAST(event_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INT) AS turn_idx, event_type,
+                     row_number() OVER (ORDER BY CAST(event_id AS VARCHAR),
+                                        CAST(event_id % 7 AS INT)) AS rn
+              FROM events)
+            WHERE rn > 250 ORDER BY conv_id, turn_idx LIMIT 100
         """,
         "multi_file_merge_roundtrip": """
             SELECT 'event ' || event_type || ' id ' || CAST(event_id AS VARCHAR) AS message,

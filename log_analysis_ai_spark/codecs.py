@@ -1,15 +1,18 @@
 """Real media codecs in pure stdlib + numpy — no PIL/ffmpeg required.
 
-The container ships no image/audio libraries, but three production formats
-are fully decodable with what IS here: PNG (zlib inflate + scanline
-unfilter), uncompressed 24-bit BMP (fixed headers + numpy), and PCM WAV
-(stdlib `wave`). These make the multimodal operators' decode step REAL for
-those mimes; JPEG and MP4/video remain honestly stubbed behind the same
-interface (multimodal.py) because their codecs genuinely need external
+The container ships no image/audio libraries, but four production formats
+are decodable with what IS here: PNG (zlib inflate + scanline unfilter),
+uncompressed 24-bit BMP (fixed headers + numpy), PCM WAV (stdlib `wave`),
+and baseline-sequential JPEG (full from-scratch implementation below —
+encode 4:4:4, decode 4:4:4 / 4:2:2 / 4:2:0 / grayscale with restart
+intervals; validated against externally produced libjpeg files). These
+make the multimodal operators' decode step REAL for those mimes;
+progressive JPEG and MP4/video remain honestly stubbed behind the same
+interface (multimodal.py) because those genuinely need external
 libraries.
 
 All functions are deterministic and round-trip-tested
-(decode(encode(x)) == x).
+(decode(encode(x)) == x; JPEG by PSNR — it is lossy).
 """
 
 from __future__ import annotations
@@ -181,12 +184,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 # ---------------------------------------------------------------- JPEG
 #
-# Baseline sequential JFIF (SOF0), 8-bit, 4:4:4 (no chroma subsampling),
-# standard Annex-K quantization + Huffman tables, from the public JPEG
-# spec (ITU-T T.81) — pure stdlib+numpy, no PIL. The encoder always emits
-# this profile; the decoder accepts it and raises NotImplementedError for
-# profiles that genuinely need a full library (progressive SOF2,
-# subsampled chroma, restart markers, arithmetic coding).
+# Baseline sequential JFIF (SOF0), 8-bit, standard Annex-K quantization +
+# Huffman tables, from the public JPEG spec (ITU-T T.81) — pure
+# stdlib+numpy, no PIL. The encoder emits 4:4:4 (optionally with restart
+# intervals); the decoder additionally accepts 4:2:2 / 4:2:0 / grayscale
+# (general interleaved-MCU geometry, replication chroma upsampling) and
+# honors DRI/RSTn. NotImplementedError for profiles that genuinely need a
+# full library (progressive SOF2, arithmetic coding, 12-bit).
 
 _ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
@@ -337,8 +341,11 @@ def _blocks(chan: np.ndarray) -> np.ndarray:
     return chan.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as baseline JFIF (SOF0, 4:4:4)."""
+def encode_jpeg(img: np.ndarray, quality: int = 90, restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as baseline JFIF (SOF0, 4:4:4).
+    `restart_interval` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (predictors reset, stream byte-aligned) — the
+    error-resilience feature most camera JPEGs use."""
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8")
     h, w = img.shape[:2]
@@ -362,8 +369,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     pred = [0, 0, 0]
+    mcu_n = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.flush()  # byte-align before the marker
+                bw.out += bytes([0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8])
+                pred = [0, 0, 0]
+            mcu_n += 1
             for ci in range(3):  # 4:4:4 -> one block per component per MCU
                 zz = quants[ci][by, bx].ravel()[_ZIGZAG]
                 dc_t, ac_t = dc_tabs[comp_tab[ci]], ac_tabs[comp_tab[ci]]
@@ -410,8 +423,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
-        b"\xff\xd8" + app0 + dqt(0, tl) + dqt(1, tc)
+        b"\xff\xd8" + app0 + dri + dqt(0, tl) + dqt(1, tc)
         + dht(0, 0, _DC_L) + dht(1, 0, _AC_L) + dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
         + sof + sos + bytes(bw.out) + b"\xff\xd9"
     )
@@ -446,6 +460,17 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Consume a restart marker: drop buffered bits (pad), scan forward
+        to the RSTn bytes (stuffing guarantees no false marker in data)."""
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
 
 def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code = 0
@@ -465,16 +490,17 @@ def _extend(mag: int, size: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline sequential JFIF (SOF0, 8-bit; 4:4:4, 4:2:2, 4:2:0
-    or grayscale) to (h, w, 3) uint8 RGB. Chroma planes are upsampled by
-    replication. Raises NotImplementedError for profiles that need a full
-    library: progressive (SOF2), restart intervals, arithmetic coding,
-    12-bit."""
+    or grayscale; restart intervals honored) to (h, w, 3) uint8 RGB.
+    Chroma planes are upsampled by replication. Raises NotImplementedError
+    for profiles that need a full library: progressive (SOF2), arithmetic
+    coding, 12-bit."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     dc_maps: dict[int, dict] = {}
     ac_maps: dict[int, dict] = {}
+    restart_interval = 0
     h = w = None
     comps: list[tuple[int, int, int]] = []  # (id, sampling, q_table)
     scan: list[tuple[int, int, int]] = []   # (comp idx, dc table, ac table)
@@ -516,7 +542,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
             ns = body[0]
             for si in range(ns):
@@ -548,8 +574,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     planes = [np.zeros((mcuy * 8 * vs[i], mcux * 8 * hs[i])) for i in range(nc)]
     br = _BitReader(data)
     pred = [0] * nc
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.restart()
+                pred = [0] * nc
+            mcu_n += 1
             for idx, dct, act in scan:
                 for byy in range(vs[idx]):
                     for bxx in range(hs[idx]):

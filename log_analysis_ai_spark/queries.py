@@ -136,7 +136,15 @@ def logs_page(df: DataFrame, limit: int = 100, offset: int = 0) -> DataFrame:
     requires a total order; at scale prefer keyset pagination (filter on the
     last-seen key) — implemented here as the reference-compatible version."""
     w = F.row_number().over(Window.orderBy("conv_id", "turn_idx"))
-    return df.withColumn("_rn", w).filter(F.col("_rn") > offset).limit(limit).drop("_rn")
+    # page = rows offset+1 .. offset+limit of the TOTAL order. A
+    # filter-then-limit would let limit pick an arbitrary `limit`-subset of
+    # the qualifying rows (no order contract after a filter); the two-sided
+    # row_number predicate is deterministic at any parallelism.
+    return (
+        df.withColumn("_rn", w)
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        .drop("_rn")
+    )
 
 
 def logs_page_keyset(

@@ -208,3 +208,16 @@ def test_jpeg_decodes_external_420_photo():
     img = codecs.decode_jpeg(open(path, "rb").read())
     assert img.shape == (215, 300, 3)
     assert 20 < img.std() < 120  # photographic dynamic range, not noise/flat
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: encode with several restart intervals; every stream must
+    decode to exactly the same pixels as the restart-free encoding (byte
+    alignment + predictor resets are transparent)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    for ri in (1, 3, 7):
+        b = codecs.encode_jpeg(img, quality=90, restart_interval=ri)
+        assert b"\xff\xdd" in b  # DRI segment present
+        assert np.array_equal(codecs.decode_jpeg(b), plain)
