@@ -3,13 +3,13 @@
 The container ships no image/audio libraries, but four production formats
 are decodable with what IS here: PNG (zlib inflate + scanline unfilter),
 uncompressed 24-bit BMP (fixed headers + numpy), PCM WAV (stdlib `wave`),
-and baseline-sequential JPEG (full from-scratch implementation below —
-encode 4:4:4, decode 4:4:4 / 4:2:2 / 4:2:0 / grayscale with restart
-intervals; validated against externally produced libjpeg files). These
-make the multimodal operators' decode step REAL for those mimes;
-progressive JPEG and MP4/video remain honestly stubbed behind the same
-interface (multimodal.py) because those genuinely need external
-libraries.
+and JPEG (full from-scratch implementation below — encode baseline
+4:4:4, decode baseline 4:4:4 / 4:2:2 / 4:2:0 / grayscale AND progressive
+(unsubsampled), with restart intervals; validated against externally
+produced libjpeg files). These make the multimodal operators' decode step
+REAL for those mimes; subsampled-progressive JPEG, arithmetic coding and
+MP4/video remain honestly stubbed behind the same interface
+(multimodal.py) because those genuinely need external libraries.
 
 All functions are deterministic and round-trip-tested
 (decode(encode(x)) == x; JPEG by PSNR — it is lossy).
@@ -189,8 +189,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # stdlib+numpy, no PIL. The encoder emits 4:4:4 (optionally with restart
 # intervals); the decoder additionally accepts 4:2:2 / 4:2:0 / grayscale
 # (general interleaved-MCU geometry, replication chroma upsampling) and
-# honors DRI/RSTn. NotImplementedError for profiles that genuinely need a
-# full library (progressive SOF2, arithmetic coding, 12-bit).
+# honors DRI/RSTn. Progressive (SOF2) decoding is implemented for
+# unsubsampled streams (_decode_progressive). NotImplementedError for the
+# rest (subsampled progressive chroma, arithmetic coding, 12-bit).
 
 _ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
@@ -491,9 +492,10 @@ def _extend(mag: int, size: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline sequential JFIF (SOF0, 8-bit; 4:4:4, 4:2:2, 4:2:0
     or grayscale; restart intervals honored) to (h, w, 3) uint8 RGB.
-    Chroma planes are upsampled by replication. Raises NotImplementedError
-    for profiles that need a full library: progressive (SOF2), arithmetic
-    coding, 12-bit."""
+    Progressive (SOF2) streams are handled by _decode_progressive
+    (unsubsampled only). Chroma planes are upsampled by replication.
+    Raises NotImplementedError for profiles that need a full library:
+    subsampled progressive chroma, arithmetic coding, 12-bit."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -539,8 +541,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, samp, tq))
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
-            raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFC2:
+            return _decode_progressive(payload)
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+            raise NotImplementedError("only baseline/progressive DCT supported")
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
@@ -663,3 +667,221 @@ def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
     g = img_c.reshape(4, ch // 4, 4, cw // 4, 3).mean(axis=(1, 3)).mean(axis=2)
     vec = np.concatenate([g.ravel()[: dim - 3], img.mean(axis=(0, 1))]) / 255.0
     return vec[:dim].astype("float32")
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker (not stuffing, not RSTn) at/after start."""
+    p = start
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(payload)
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2) decoder: coefficients accumulate across the
+    spectral-selection / successive-approximation scan sequence (T.81 §G),
+    then one dequantize + IDCT pass reconstructs. Supports non-interleaved
+    and interleaved DC scans, AC first + AC refinement scans with EOB runs,
+    restart intervals, and grayscale or unsubsampled color; subsampled
+    progressive chroma raises NotImplementedError (none of the available
+    fixtures use it and the refinement x geometry interaction is where
+    hand-rolled decoders silently corrupt)."""
+    pos = 2
+    qz: dict[int, np.ndarray] = {}  # quant tables in ZIGZAG order
+    dc_maps: dict[int, dict] = {}
+    ac_maps: dict[int, dict] = {}
+    restart_interval = 0
+    h = w = None
+    comps: list[tuple[int, int, int]] = []
+    coefs: list[np.ndarray] = []
+    grids: list[tuple[int, int]] = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qz[tid] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(
+                    np.float64
+                )
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                (dc_maps if cls == 0 else ac_maps)[tid] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFC2:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11 and nc > 1:
+                    raise NotImplementedError(
+                        "subsampled progressive chroma unsupported"
+                    )
+                comps.append((cid, samp, tq))
+            for _ in comps:
+                bw_, bh_ = -(-w // 8), -(-h // 8)
+                grids.append((bh_, bw_))
+                coefs.append(np.zeros((bh_, bw_, 64), dtype=np.int64))
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, (c, _, _) in enumerate(comps) if c == cid)
+                scan.append((idx, tabs >> 4, tabs & 0xF))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            end = _entropy_end(payload, pos + 2 + length)
+            _progressive_scan(
+                payload[pos + 2 + length : end],
+                scan, ss, se, ah, al,
+                coefs, grids, dc_maps, ac_maps, restart_interval,
+            )
+            pos = end
+            continue
+        pos += 2 + length
+    if h is None:
+        raise ValueError("JPEG missing SOF2")
+    planes = []
+    for i, (bh_, bw_) in enumerate(grids):
+        qt = qz[comps[i][2]]
+        plane = np.zeros((bh_ * 8, bw_ * 8))
+        deq = coefs[i] * qt  # zigzag order
+        nat = np.zeros((bh_, bw_, 64))
+        nat[:, :, _ZIGZAG] = deq
+        blocks = np.einsum("ij,abjk,lk->abil", _DCT.T, nat.reshape(bh_, bw_, 8, 8), _DCT.T)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8) + 128.0
+        planes.append(plane[:h, :w])
+    full = np.stack(planes, axis=-1)
+    if len(comps) == 1:
+        y = np.clip(full[..., 0].round(), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(y[..., None], 3, axis=2))
+    return np.ascontiguousarray(_ycbcr_to_rgb(full))
+
+
+def _progressive_scan(
+    data, scan, ss, se, ah, al, coefs, grids, dc_maps, ac_maps, restart_interval
+):
+    """Apply one progressive scan to the coefficient accumulators."""
+    br = _BitReader(data)
+    pred = {idx: 0 for idx, _, _ in scan}
+    eobrun = 0
+    unit_n = 0
+
+    def maybe_restart():
+        nonlocal eobrun, unit_n
+        if restart_interval and unit_n and unit_n % restart_interval == 0:
+            br.restart()
+            for k in pred:
+                pred[k] = 0
+            eobrun = 0
+        unit_n += 1
+
+    if ss == 0:  # DC scan (interleaved iff multi-component; 1x1 sampling only)
+        bh_, bw_ = grids[scan[0][0]]
+        for by in range(bh_):
+            for bx in range(bw_):
+                maybe_restart()
+                for idx, dct, _ in scan:
+                    c = coefs[idx]
+                    if ah == 0:
+                        size = _huff_read(br, dc_maps[dct])
+                        diff = _extend(br.bits(size), size) if size else 0
+                        pred[idx] += diff
+                        c[by, bx, 0] = pred[idx] << al
+                    else:
+                        if br.bit():
+                            c[by, bx, 0] |= 1 << al
+        return
+    # AC scans are always single-component (T.81 B.2.3)
+    idx, _, act = scan[0]
+    c = coefs[idx]
+    bh_, bw_ = grids[idx]
+    p1, m1 = 1 << al, -1 << al
+    for by in range(bh_):
+        for bx in range(bw_):
+            maybe_restart()
+            blk = c[by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _huff_read(br, ac_maps[act])
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC band overflow")
+                    blk[k] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:  # refinement pass (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _huff_read(br, ac_maps[act])
+                        r, s = sym >> 4, sym & 0xF
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                # NOT pre-decremented (unlike the first
+                                # pass): the tail handler below refines the
+                                # CURRENT block's remaining nonzero history
+                                # and then consumes one unit of the run
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: advance past 16 zero-history coeffs
+                        else:
+                            val = p1 if br.bit() else m1
+                        while k <= se:
+                            cur = int(blk[k])
+                            if cur != 0:
+                                if br.bit() and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if br.bit() and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur > 0 else m1)
+                        k += 1
+                    eobrun -= 1

@@ -9,7 +9,8 @@ uncompressed 24-bit BMP, PCM WAV, and baseline-sequential JPEG (SOF0 —
 encode at 4:4:4; decode also 4:2:0/4:2:2/grayscale — standard Annex-K
 Huffman/quant tables, from-scratch DCT + entropy coder; round-trip
 PSNR-tested and validated against externally produced libjpeg files,
-including a real 4:2:0 photograph). Progressive JPEG and MP4/video
+including a real 4:2:0 photograph); progressive (SOF2) decode is real
+for unsubsampled streams. Subsampled-progressive JPEG and MP4/video
 genuinely need external libraries (PIL/ffmpeg) this container does not
 ship, so those are stubbed: `decode_stub=True` (default) substitutes a
 deterministic fake decode for UNSUPPORTED payloads only — supported ones

