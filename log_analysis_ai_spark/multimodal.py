@@ -79,8 +79,8 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
-    """Deterministic stand-in for an UNSUPPORTED mime's decode (jpeg/video):
-    pseudo-pixels from a keyed hash of the payload."""
+    """Deterministic stand-in for an UNSUPPORTED payload's decode (video,
+    exotic JPEG profiles): pseudo-pixels from a keyed hash of the payload."""
     seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -142,7 +142,7 @@ def resize_images(
     df: DataFrame, size: tuple[int, int] = (32, 32), decode_stub: bool = True
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode (PNG out). Real for
-    png/bmp inputs; unsupported mimes use the fake decode when
+    png/bmp/jpeg inputs; unsupported mimes use the fake decode when
     `decode_stub` (schema/partitioning identical), else raise."""
     tw, th = size
 
