@@ -491,6 +491,45 @@ def _stream_template_counts(spark, sf_dir):
     )
 
 
+def _stream_online_template_counts(spark, sf_dir):
+    """ORACLED stateful-streaming path: the ONLINE incremental miner
+    (applyInPandasWithState — per-shard template catalogs grow as
+    streaming state, no pre-mined catalog). On the pure number-masking
+    fixture every line of a shard masks to the same form, so the cluster
+    template equals 'event <type> by user <*> value <*>' AT EVERY
+    ARRIVAL — arrival-order erosion (the reason online mining is usually
+    not SQL-expressible) provably cannot occur, and DuckDB recomputes the
+    per-template counts directly."""
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.streaming.stream import stream_lines, stream_pipeline_online
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.format_string(
+            "INFO: event %s by user %d value %d",
+            "event_type", "user_id", F.floor("value").cast("long"),
+        ).alias("text"),
+    )
+    in_dir = _scratch("ostream_in", sf_dir)
+    out_dir = _scratch("ostream_out", sf_dir)
+    ckpt = _scratch("ostream_ckpt", sf_dir)
+    lines.repartition(4).write.mode("overwrite").json(in_dir)
+    stream = stream_lines(
+        spark, in_dir, "conv_id string, turn_idx int, text string",
+        fmt="json", max_files_per_trigger=2,
+    )
+    q = stream_pipeline_online(stream, out_dir, ckpt, PipelineConfig(salt_buckets=2))
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("template_str")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("template_str")
+    )
+
+
 def _docs_minhash_groups(spark, sf_dir):
     """MinHash → LSH candidates → exact-Jaccard verify → connected
     components → keep/drop groups, ORACLED (VERDICT r3 next-round #6): at
@@ -873,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_roundtrip": _syslog_roundtrip,
         "syslog_classic_roundtrip": _syslog_classic_roundtrip,
         "stream_template_counts": _stream_template_counts,
+        "stream_online_template_counts": _stream_online_template_counts,
         "docs_minhash_groups": _docs_minhash_groups,
         "logfmt_roundtrip": _logfmt_roundtrip,
         "events_error_context": _events_error_context,
@@ -1199,6 +1239,11 @@ def oracle_sql() -> dict[str, str]:
                    'event ' || event_type || ' by user <*> value <*>' AS template_str,
                    count(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_online_template_counts": """
+            SELECT 'event ' || event_type || ' by user <*> value <*>' AS template_str,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "docs_minhash_groups": """
             WITH RECURSIVE uni AS (
