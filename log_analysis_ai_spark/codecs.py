@@ -558,6 +558,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + length
     if h is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
+    if len(comps) not in (1, 3):
+        # 4-component Adobe CMYK/YCCK must not be pushed through the
+        # 3-channel YCbCr transform — that would silently corrupt pixels.
+        raise NotImplementedError(f"{len(comps)}-component JPEG (CMYK/YCCK) unsupported")
+    if len(comps) > 1 and len(scan) < len(comps):
+        # Multi-scan non-interleaved color baseline: we only parse up to the
+        # first SOS, so decoding would yield Y with zeroed chroma — refuse
+        # rather than mis-decode (honors the docstring contract).
+        raise NotImplementedError(
+            f"multi-scan baseline JPEG unsupported (first SOS covers "
+            f"{len(scan)} of {len(comps)} components)"
+        )
 
     # General interleaved-MCU geometry (T.81 A.2.3): an MCU carries
     # h_i × v_i blocks of component i; each component's plane is sampled at

@@ -35,6 +35,7 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -187,9 +188,6 @@ def mine_catalog(df_with_keys: DataFrame, cfg: PipelineConfig) -> dict[str, list
         skey: [tpl.split(" ") for _, _, tpl in sorted(rows)]
         for skey, rows in per_shard.items()
     }
-
-
-import numpy as np
 
 
 def _cand_entry(s: str) -> tuple:

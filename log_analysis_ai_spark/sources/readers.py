@@ -189,7 +189,7 @@ def regex_groups_col(c, pattern: str, n: int):
     repl = _SEP.join(f"${i}" for i in range(1, n + 1))
     whole = r"^[\s\S]*?(?:" + pattern + r")[\s\S]*$"
     fast = F.split(
-        F.when(c.rlike(pattern) & ~c.contains(_SEP), F.regexp_replace(c, whole, repl)),
+        F.when(c.rlike(pattern), F.regexp_replace(c, whole, repl)),
         _SEP,
         -1,  # keep trailing empty groups (e.g. an empty message)
     )

@@ -193,6 +193,28 @@ def test_jpeg_unsupported_profiles_raise():
         codecs.decode_jpeg(b"\x00\x01not a jpeg")
 
 
+def test_jpeg_partial_scan_and_cmyk_raise_not_misdecode():
+    """A color baseline stream whose first SOS covers only Y (multi-scan
+    non-interleaved) and a 4-component CMYK SOF must raise, not silently
+    decode with zeroed chroma / a bogus YCbCr transform."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    good = bytes(codecs.encode_jpeg(img))
+    full_sos = b"\xff\xda\x00\x0c\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    assert full_sos in good
+    y_only_sos = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        codecs.decode_jpeg(good.replace(full_sos, y_only_sos, 1))
+    # rebuild the SOF with nc=4 (extra component id 4, 1x1 sampling, qtab 1)
+    prec_h_w = good.split(b"\xff\xc0\x00\x11", 1)[1][:5]  # 08 HH HH WW WW
+    comps = good.split(b"\xff\xc0\x00\x11", 1)[1][6:15]
+    sof4 = b"\xff\xc0\x00\x14" + prec_h_w[:5] + b"\x04" + comps + b"\x04\x11\x01"
+    old_sof = b"\xff\xc0\x00\x11" + prec_h_w[:5] + b"\x03" + comps
+    assert old_sof in good
+    with pytest.raises(NotImplementedError, match="component"):
+        codecs.decode_jpeg(good.replace(old_sof, sof4, 1))
+
+
 def test_jpeg_decodes_external_progressive_files():
     """Progressive (SOF2) decode validated against three externally
     produced libjpeg files — spectral selection alone (the stripe images)
