@@ -9,8 +9,10 @@ the training-data operator set); each callable is (spark, sf_dir) -> DataFrame.
 
 `oracle_sql()` — DuckDB-equivalent SQL for every SQL-expressible query
 (same aliases, floats rounded in BOTH engines to absorb summation-order
-ulps). Genuinely non-SQL ops (Drain mining, MinHash/SimHash LSH, ANN,
-multimodal) have no oracle → driver records rows-only checks.
+ulps). Genuinely non-SQL ops (LSH banding at threshold<1, ANN, multimodal
+feature extraction) have no oracle → driver records rows-only checks; the
+full pipeline (mine→assign→route→aggregate) IS oracled via a number-masking
+events fixture on which Drain's templates are provably SQL-computable.
 """
 
 from __future__ import annotations
@@ -828,24 +830,93 @@ def _emb_ann_topk(spark, sf_dir):
     return ann_topk(emb, q, k=10, n_planes=6, multiprobe=6)
 
 
+_PIPE_TOOLS = ("search", "browser", "python", "bash", "editor", "none")
+_PIPE_ROLES = ("user", "assistant", "tool", "system")
+
+
+def _pipeline_oracle_transcripts(spark, sf_dir):
+    """Events rendered as an ORACLED full-pipeline input (VERDICT r4
+    next-round #1): three text families whose Drain templates are
+    SQL-computable because masking makes every line of a (token_count,
+    depth-4 prefix) shard identical — the same provability argument that
+    oracled the streaming paths:
+      - event_id < 4             → a 5-token constant line (global count 4
+                                   < rare_min_count → class 'rare')
+      - event_id % 10 == 0       → a 3-token constant line, zero params
+                                   (class 'fixed')
+      - otherwise                → 'INFO: event <type> by user N value N'
+                                   → masks to 2 params ('parameterized');
+                                   each event_type is its own shard (token 2
+                                   is inside the depth-4 prefix)
+    Timestamps are floored to the day so route()'s hourly windows hold
+    ~7-13 rows and BOTH anomaly_flag values occur. tool/role cycle through
+    the full broadcast-lookup domains by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in _PIPE_ROLES]),
+            (F.pmod("event_id", F.lit(4)) + 1).cast("int"),
+        ).alias("role"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _PIPE_TOOLS]),
+            (F.pmod("event_id", F.lit(6)) + 1).cast("int"),
+        ).alias("tool"),
+        F.when(F.col("event_id") < 4, F.lit("cold start initialization sequence engaged"))
+        .when(F.pmod("event_id", F.lit(10)) == 0, F.lit("session heartbeat ok"))
+        .otherwise(
+            F.format_string(
+                "INFO: event %s by user %d value %d",
+                "event_type", "user_id", F.floor("value").cast("long"),
+            )
+        )
+        .alias("text"),
+        F.date_trunc("day", "ts").alias("ts"),
+    )
+
+
+# shared oracle CTE: the SQL rendering of _pipeline_oracle_transcripts
+_PIPE_LINES_CTE = """
+    lines AS (
+      SELECT event_id,
+             (['search', 'browser', 'python', 'bash', 'editor', 'none'])
+                 [CAST(event_id % 6 AS INT) + 1] AS tool,
+             CASE WHEN event_id < 4 THEN 'cold start initialization sequence engaged'
+                  WHEN event_id % 10 = 0 THEN 'session heartbeat ok'
+                  ELSE 'event ' || event_type || ' by user <*> value <*>' END AS template_str,
+             CASE WHEN event_id < 4 OR event_id % 10 = 0 THEN 0 ELSE 2 END AS n_params,
+             -- duckdb's date_trunc('day') yields DATE; Spark's yields TIMESTAMP
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start
+      FROM events
+    )
+"""
+
+
 def _pipeline_template_counts(spark, sf_dir):
+    """Full mine→assign on the oracled fixture; template_id (xxh64) is not
+    DuckDB-computable, so the oracled projection keys on template_str —
+    an injective relabeling (distinct templates ⇔ distinct strings)."""
     from log_analysis_ai_spark.config import PipelineConfig
-    from log_analysis_ai_spark.fixtures import gen_transcripts
     from log_analysis_ai_spark.operators.drain import mine_and_assign
     from log_analysis_ai_spark.queries import template_frequency
 
-    t = spark.createDataFrame(gen_transcripts(_fixture_convs(sf_dir)))
+    t = _pipeline_oracle_transcripts(spark, sf_dir)
     assigned, _, _ = mine_and_assign(t, PipelineConfig(), persist=False)
-    return template_frequency(assigned)
+    return (
+        template_frequency(assigned)
+        .select("template_str", F.col("count").alias("n"))
+        .orderBy(F.desc("n"), "template_str")
+    )
 
 
 def _pipeline_sink_counts(spark, sf_dir):
     from log_analysis_ai_spark.config import PipelineConfig
-    from log_analysis_ai_spark.fixtures import gen_role_lookup, gen_tool_lookup, gen_transcripts
+    from log_analysis_ai_spark.fixtures import gen_role_lookup, gen_tool_lookup
     from log_analysis_ai_spark.pipeline import run_pipeline
 
     out = run_pipeline(
-        spark.createDataFrame(gen_transcripts(_fixture_convs(sf_dir))),
+        _pipeline_oracle_transcripts(spark, sf_dir),
         spark.createDataFrame(gen_tool_lookup()),
         spark.createDataFrame(gen_role_lookup()),
         PipelineConfig(),
@@ -856,17 +927,22 @@ def _pipeline_sink_counts(spark, sf_dir):
 
 def _pipeline_agg_template_tool(spark, sf_dir):
     from log_analysis_ai_spark.config import PipelineConfig
-    from log_analysis_ai_spark.fixtures import gen_role_lookup, gen_tool_lookup, gen_transcripts
+    from log_analysis_ai_spark.fixtures import gen_role_lookup, gen_tool_lookup
     from log_analysis_ai_spark.pipeline import run_pipeline
 
     out = run_pipeline(
-        spark.createDataFrame(gen_transcripts(_fixture_convs(sf_dir))),
+        _pipeline_oracle_transcripts(spark, sf_dir),
         spark.createDataFrame(gen_tool_lookup()),
         spark.createDataFrame(gen_role_lookup()),
         PipelineConfig(),
         persist_keyed=False,  # one-shot query in a long-lived session: no cache leak
     )
-    return out["agg_template_tool"].orderBy("window_start", "template_id", "tool")
+    return (
+        out["agg_template_tool"]
+        .join(F.broadcast(out["templates"].select("template_id", "template_str")), "template_id")
+        .select("window_start", "template_str", "tool", "n_turns")
+        .orderBy("window_start", "template_str", "tool")
+    )
 
 
 def _media_features(spark, sf_dir):
@@ -934,10 +1010,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
         "emb_ann_topk": _emb_ann_topk,
+        "media_features": _media_features,
+        # full-pipeline queries — ORACLED as of r5 via the number-masking
+        # events fixture (see _pipeline_oracle_transcripts)
         "pipeline_template_counts": _pipeline_template_counts,
         "pipeline_sink_counts": _pipeline_sink_counts,
         "pipeline_agg_template_tool": _pipeline_agg_template_tool,
-        "media_features": _media_features,
     }
 
 
@@ -1344,5 +1422,38 @@ def oracle_sql() -> dict[str, str]:
                    'com.acme.Handler' AS logger,
                    'processed ' || event_type || ' id ' || CAST(event_id AS VARCHAR) AS message
             FROM events ORDER BY event_id
+        """,
+        # full-pipeline oracles (the centerpiece path, previously rows-only):
+        # the lines CTE mirrors _pipeline_oracle_transcripts' rendering and the
+        # number-masking provability argument makes Drain's output SQL-exact
+        "pipeline_template_counts": f"""
+            WITH {_PIPE_LINES_CTE}
+            SELECT template_str, count(*) AS n
+            FROM lines GROUP BY 1 ORDER BY n DESC, template_str
+        """,
+        "pipeline_sink_counts": f"""
+            WITH {_PIPE_LINES_CTE},
+            wc AS (
+              SELECT window_start, template_str, count(*) AS window_count
+              FROM lines GROUP BY 1, 2
+            ),
+            gc AS (
+              SELECT template_str, CAST(sum(window_count) AS BIGINT) AS global_count
+              FROM wc GROUP BY 1
+            )
+            SELECT CASE WHEN gc.global_count < 10 THEN 'rare'
+                        WHEN l.n_params = 0 THEN 'fixed'
+                        ELSE 'parameterized' END AS template_class,
+                   (wc.window_count < 5) AS anomaly_flag,
+                   count(*) AS n
+            FROM lines l
+            JOIN wc ON l.window_start = wc.window_start AND l.template_str = wc.template_str
+            JOIN gc ON l.template_str = gc.template_str
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "pipeline_agg_template_tool": f"""
+            WITH {_PIPE_LINES_CTE}
+            SELECT window_start, template_str, tool, count(*) AS n_turns
+            FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
     }
