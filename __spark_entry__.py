@@ -910,6 +910,41 @@ def _pipeline_template_counts(spark, sf_dir):
     )
 
 
+def _pipeline_dead_letter(spark, sf_dir):
+    """Dead-letter routing through the CHECKPOINTED job (VERDICT r4
+    next-round #4): events rendered as transcripts with planted malformed
+    rows — null text (id%13==0), null ts (id%17==0), null conv_id
+    (id%19==0), one ≥1MB line (id==42) — must land in the committed
+    dead_letter table with first-match reasons while every valid row still
+    reaches the miner. Oracled: the reject partition is a pure function of
+    event_id."""
+    from log_analysis_ai_spark.config import PipelineConfig
+    from log_analysis_ai_spark.fixtures import gen_role_lookup, gen_tool_lookup
+    from log_analysis_ai_spark.job import run_checkpointed
+    from log_analysis_ai_spark.lineage import SinkStore
+
+    ev = _t(spark, sf_dir, "events")
+    base = _pipeline_oracle_transcripts(spark, sf_dir).join(
+        ev.select(F.col("event_id").cast("string").alias("conv_id"), "event_id"), "conv_id"
+    )
+    t = base.select(
+        F.when(F.pmod("event_id", F.lit(19)) == 0, F.lit(None)).otherwise(F.col("conv_id")).alias("conv_id"),
+        "turn_idx", "role", "tool",
+        F.when(F.pmod("event_id", F.lit(13)) == 0, F.lit(None))
+        .when(F.col("event_id") == 42, F.expr("repeat('x', 1048576)"))
+        .otherwise(F.col("text")).alias("text"),
+        F.when(F.pmod("event_id", F.lit(17)) == 0, F.lit(None)).otherwise(F.col("ts")).alias("ts"),
+    )
+    store = SinkStore(_scratch("deadletter_wh", sf_dir))
+    out = run_checkpointed(spark, t, spark.createDataFrame(gen_tool_lookup()),
+                           spark.createDataFrame(gen_role_lookup()), store,
+                           PipelineConfig(), input_desc="deadletter_oracle")
+    return (
+        out["dead_letter"].groupBy("reject_reason").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("reject_reason")
+    )
+
+
 def _pipeline_sink_counts(spark, sf_dir):
     from log_analysis_ai_spark.config import PipelineConfig
     from log_analysis_ai_spark.fixtures import gen_role_lookup, gen_tool_lookup
@@ -1016,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_template_counts": _pipeline_template_counts,
         "pipeline_sink_counts": _pipeline_sink_counts,
         "pipeline_agg_template_tool": _pipeline_agg_template_tool,
+        "pipeline_dead_letter": _pipeline_dead_letter,
     }
 
 
@@ -1455,5 +1491,16 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE_LINES_CTE}
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # mirrors job.reject_reason's first-match-wins precedence:
+        # null_conv_id > null_text > oversize_text > null_ts
+        "pipeline_dead_letter": """
+            SELECT reject_reason, count(*) AS n FROM (
+              SELECT CASE WHEN event_id % 19 = 0 THEN 'null_conv_id'
+                          WHEN event_id % 13 = 0 THEN 'null_text'
+                          WHEN event_id = 42 THEN 'oversize_text'
+                          WHEN event_id % 17 = 0 THEN 'null_ts' END AS reject_reason
+              FROM events
+            ) WHERE reject_reason IS NOT NULL GROUP BY 1 ORDER BY 1
         """,
     }

@@ -3,13 +3,21 @@ and idempotent resume (north rule: "resumable from checkpoint with
 per-partition lineage + metrics").
 
 Stage graph:
-  transcripts ─ parse+mine ─> turns_parsed, templates
+  transcripts ─ validate ─> dead_letter (committed rejects) + valid rows
+  valid ─ parse+mine ─> turns_parsed, templates
   turns_parsed ─ enrich+route ─> routed  (partitioned by sink key)
   routed ─> agg_template_tool, sink_counts
 
 Each stage reads the PREVIOUS stage's committed table (not the lazy plan),
 so a resumed run recomputes nothing upstream of the first missing stage.
-"""
+
+Dead-letter contract (VERDICT r4 next-round #4 — the reference silently
+DROPS malformed rows, src/file_data_loader.cpp:766-777): structurally
+invalid rows (null conv_id / null text / null ts / text ≥ the 1 MB line
+guard, plus parser-flagged `_valid == false` rows when the input came
+through parse_format) are routed to a committed `dead_letter` table with a
+`reject_reason` column instead of entering the miner. Empty text is NOT
+dead-lettered — by spec it routes to the reserved <EMPTY> template."""
 
 from __future__ import annotations
 
@@ -31,6 +39,24 @@ def _fingerprint(cfg: PipelineConfig, inputs: dict[str, str]) -> str:
     return f"{xxh64(payload) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
+def reject_reason(df: DataFrame):
+    """First-match-wins structural reject reason, NULL for valid rows.
+    Pure codegen (no UDF); the 1 MB bound mirrors sources.readers'
+    MAX_LINE_BYTES scan guard so file-fed and DataFrame-fed inputs agree."""
+    from .sources.readers import MAX_LINE_BYTES
+
+    reason = (
+        F.when(F.col("conv_id").isNull(), F.lit("null_conv_id"))
+        .when(F.col("text").isNull(), F.lit("null_text"))
+        .when(F.octet_length("text") >= F.lit(MAX_LINE_BYTES), F.lit("oversize_text"))
+    )
+    if "ts" in df.columns:
+        reason = reason.when(F.col("ts").isNull(), F.lit("null_ts"))
+    if "_valid" in df.columns:
+        reason = reason.when(~F.col("_valid"), F.lit("parser_invalid"))
+    return reason
+
+
 def run_checkpointed(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -44,6 +70,21 @@ def run_checkpointed(
     """Run (or resume) the checkpointed pipeline; returns the committed tables."""
     cfg = cfg or PipelineConfig()
     fp = _fingerprint(cfg, {"transcripts": input_desc})
+
+    # stage 0: validate -> dead_letter (committed even when empty, so a
+    # clean run is distinguishable from a run that never validated); valid
+    # rows flow on. One narrow codegen filter per side — no extra shuffle.
+    flagged = transcripts.withColumn("_reject", reject_reason(transcripts))
+    if not (resume and store.committed("dead_letter", fp)):
+        dead = flagged.filter(F.col("_reject").isNotNull()).withColumnRenamed(
+            "_reject", "reject_reason"
+        )
+        if "_valid" in dead.columns:
+            dead = dead.drop("_valid")
+        store.write_table(dead, "dead_letter", fp)
+    transcripts = flagged.filter(F.col("_reject").isNull()).drop(
+        "_reject", *(["_valid"] if "_valid" in flagged.columns else [])
+    )
 
     # stage 1: parse + mine -> turns_parsed, templates
     if not (resume and store.committed("turns_parsed", fp) and store.committed("templates", fp)):
@@ -93,6 +134,7 @@ def run_checkpointed(
         store.write_table(sink_counts(routed), "sink_counts", fp)
 
     return {
+        "dead_letter": store.read_table(spark, "dead_letter"),
         "turns_parsed": turns_parsed,
         "templates": templates,
         "routed": routed,

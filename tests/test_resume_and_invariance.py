@@ -148,3 +148,52 @@ def test_collapse_duplicate_lines_identical_results(spark, frames):
     ra = a["turns_parsed"].select("conv_id", "turn_idx", "template_id")
     rb = b["turns_parsed"].select("conv_id", "turn_idx", "template_id")
     assert ra.exceptAll(rb).count() == 0 and rb.exceptAll(ra).count() == 0
+
+
+def test_dead_letter_routes_malformed_rows(spark, frames, tmp_path):
+    """Structurally invalid rows (null conv_id/text/ts, ≥1MB text, parser
+    `_valid` flags) land in the committed dead_letter table with a reason;
+    valid rows flow through untouched; a clean input commits an EMPTY
+    dead_letter table (distinguishable from never-validated)."""
+    t, tool_l, role_l = frames
+
+    bad = spark.createDataFrame(
+        [
+            ("dl-1", 0, "user", None, "none"),                  # null text
+            (None, 0, "user", "hello world", "none"),           # null conv_id
+            ("dl-3", 0, "user", "x" * (1 << 20), "none"),       # 1MB text
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    bad = bad.unionByName(
+        spark.createDataFrame(
+            [("dl-4", 0, "user", "null ts row", "none")],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        ).withColumn("ts", F.lit(None).cast("timestamp"))
+    )
+    mixed = t.unionByName(bad.select(*t.columns))
+
+    store = SinkStore(str(tmp_path / "wh_dl"))
+    out = run_checkpointed(spark, mixed, tool_l, role_l, store, CFG, input_desc="dl")
+    reasons = {r.reject_reason: r.n for r in
+               out["dead_letter"].groupBy("reject_reason").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert reasons == {"null_text": 1, "null_conv_id": 1, "oversize_text": 1, "null_ts": 1}
+    # dead rows never reached the miner; valid rows all did
+    assert out["turns_parsed"].filter(F.col("conv_id").startswith("dl-")).count() == 0
+    assert out["turns_parsed"].count() == t.count()
+    # lineage committed the stage
+    assert sum(r["stage"] == "dead_letter" for r in store.lineage_rows()) == 1
+
+    # clean input → empty but COMMITTED dead_letter
+    store2 = SinkStore(str(tmp_path / "wh_clean"))
+    out2 = run_checkpointed(spark, t, tool_l, role_l, store2, CFG, input_desc="clean")
+    assert out2["dead_letter"].count() == 0
+    assert sum(r["stage"] == "dead_letter" for r in store2.lineage_rows()) == 1
+
+    # parser-invalid rows (from parse_format's _valid) get their own reason
+    flagged = t.withColumn("_valid", ~F.col("conv_id").startswith("conv-000000"))
+    store3 = SinkStore(str(tmp_path / "wh_pv"))
+    out3 = run_checkpointed(spark, flagged, tool_l, role_l, store3, CFG, input_desc="pv")
+    dl = out3["dead_letter"]
+    assert dl.filter(F.col("reject_reason") == "parser_invalid").count() == dl.count() > 0
+    assert "_valid" not in dl.columns and "_valid" not in out3["turns_parsed"].columns
