@@ -224,3 +224,120 @@ def test_windowed_template_counts_stream(spark, tmp_path):
     q.awaitTermination(120)
     total = spark.sql("select sum(n) as s from wtc").collect()[0].s
     assert total == len(pdf)
+
+
+def test_compaction_converges_salted_catalogs_to_unsalted(spark, tmp_path):
+    """Cross-salt compaction (stop -> read_online_state ->
+    compact_salted_catalogs -> restart with seeds): salted sub-shard
+    catalogs that diverged -- each salt saw a different variant of one
+    shard's lines -- must compact to EXACTLY the unsalted run's catalog,
+    and a reseeded restart must assign the merged template in every salt."""
+    from log_analysis_ai_spark.hashing import xxh64
+    from log_analysis_ai_spark.streaming import stream_pipeline_online
+    from log_analysis_ai_spark.streaming.stream import (
+        compact_salted_catalogs,
+        read_online_state,
+    )
+
+    base_ts = gen_transcripts(2).ts.iloc[0].isoformat()
+    # conv ids bucketed by the engine's own salt fn; the variant follows the
+    # salt's parity so each salted state group sees ONE variant only --
+    # catalogs provably diverge per salt, while an unsalted run (all lines,
+    # one group) merges them to 'task run step go <*>'
+    rows = []
+    for i in range(120):
+        cid = f"cv-{i:04d}"
+        salt = xxh64(cid) % CFG.salt_buckets
+        variant = "alpha" if salt % 2 == 0 else "beta"
+        rows.append({"conv_id": cid, "turn_idx": 0, "role": "user",
+                     "text": f"task run step go {variant}", "tool": "none", "ts": base_ts})
+    in1 = str(tmp_path / "cin1"); os.makedirs(in1)
+    _write_jsonl(f"{in1}/f0.jsonl", rows)
+
+    # phase 1: salted run -> divergent per-salt catalogs
+    out1, ck1 = str(tmp_path / "cout1"), str(tmp_path / "cck1")
+    q = stream_pipeline_online(stream_lines(spark, in1, SCHEMA), out1, ck1, CFG, salt_state=True)
+    q.awaitTermination(120)
+    state = read_online_state(spark, ck1)
+    assert len(state) > 1  # the hot shard is split across salts
+    assert {t for cat in state.values() for t in cat} == {
+        "task run step go alpha", "task run step go beta"
+    }
+
+    # unsalted reference over the same input
+    out_u, ck_u = str(tmp_path / "coutu"), str(tmp_path / "ccku")
+    qu = stream_pipeline_online(stream_lines(spark, in1, SCHEMA), out_u, ck_u, CFG)
+    qu.awaitTermination(120)
+    unsalted = read_online_state(spark, ck_u)
+    unsalted_catalog = {sk: sorted(" ".join(t) if isinstance(t, list) else t for t in cat)
+                        for (sk, _), cat in unsalted.items()}
+
+    # compaction merges the divergent forms with the Drain rule
+    merged = compact_salted_catalogs(state, CFG)
+    merged_str = {sk: sorted(" ".join(t) for t in cats) for sk, cats in merged.items()}
+    assert merged_str == unsalted_catalog == {
+        "5|task run step go": ["task run step go <*>"]
+    }
+
+    # phase 2: restart salted with the merged seeds on fresh data -- every
+    # salt now assigns the merged template from the first arrival
+    rows2 = [{"conv_id": f"nw-{i:04d}", "turn_idx": 0, "role": "user",
+              "text": f"task run step go gamma{i}", "tool": "none", "ts": base_ts}
+             for i in range(60)]
+    in2 = str(tmp_path / "cin2"); os.makedirs(in2)
+    _write_jsonl(f"{in2}/f0.jsonl", rows2)
+    out2, ck2 = str(tmp_path / "cout2"), str(tmp_path / "cck2")
+    q2 = stream_pipeline_online(
+        stream_lines(spark, in2, SCHEMA), out2, ck2, CFG,
+        seed_catalogs=merged, salt_state=True,
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out2)
+    assert got.count() == 60
+    assert {r.template_str for r in got.select("template_str").distinct().collect()} == {
+        "task run step go <*>"
+    }
+    assert len({r.salt for r in got.select("salt").distinct().collect()}) > 1
+
+
+def test_online_schema_version_gate(spark, tmp_path):
+    """Resuming an online-miner checkpoint (or appending to its sink)
+    written under a DIFFERENT state schema must raise the friendly
+    up-front error, not die in state deserialization; pre-versioning
+    directories are refused with recovery instructions."""
+    import pytest
+
+    from log_analysis_ai_spark.streaming import stream_pipeline_online
+    from log_analysis_ai_spark.streaming.stream import _online_schema_version
+
+    base_ts = gen_transcripts(2).ts.iloc[0].isoformat()
+    rows = [{"conv_id": f"sv-{i}", "turn_idx": 0, "role": "user",
+             "text": f"metric probe value {i}", "tool": "none", "ts": base_ts}
+            for i in range(10)]
+    in_dir = str(tmp_path / "svin"); os.makedirs(in_dir)
+    _write_jsonl(f"{in_dir}/f0.jsonl", rows)
+    out_dir, ckpt = str(tmp_path / "svout"), str(tmp_path / "svck")
+
+    q = stream_pipeline_online(stream_lines(spark, in_dir, SCHEMA), out_dir, ckpt, CFG)
+    q.awaitTermination(120)
+    ver = _online_schema_version()
+    with open(f"{ckpt}/_engine_schema_version") as f:
+        assert f.read().strip() == ver
+
+    # same version resumes cleanly (availableNow over already-seen files -> no-op)
+    q2 = stream_pipeline_online(stream_lines(spark, in_dir, SCHEMA), out_dir, ckpt, CFG)
+    q2.awaitTermination(120)
+
+    # simulated upgrade: the old checkpoint carries a different version
+    with open(f"{ckpt}/_engine_schema_version", "w") as f:
+        f.write("feedfacecafebeef\n")
+    with pytest.raises(RuntimeError, match="state-schema version .* cannot migrate"):
+        stream_pipeline_online(stream_lines(spark, in_dir, SCHEMA), out_dir, ckpt, CFG)
+
+    # pre-versioning checkpoint (contents, no marker) is refused with recovery help
+    legacy = str(tmp_path / "legacy_ck"); os.makedirs(legacy)
+    with open(f"{legacy}/metadata", "w") as f:
+        f.write("{}")
+    with pytest.raises(RuntimeError, match="predates state-schema versioning"):
+        stream_pipeline_online(stream_lines(spark, in_dir, SCHEMA),
+                               str(tmp_path / "svout2"), legacy, CFG)
