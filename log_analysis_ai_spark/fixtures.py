@@ -154,6 +154,57 @@ def gen_transcripts_range(start: int, end: int) -> pd.DataFrame:
     )
 
 
+def gen_skewed_transcripts_range(start: int, end: int, hot_pct: int = 92) -> pd.DataFrame:
+    """ADVERSARIAL skew fixture (VERDICT r4 next-round #3): ~`hot_pct`% of
+    turns share ONE template shape — 'Hot worker <*> finished job <*> stage
+    ok' — hence ONE Drain shard (one (token_count, depth-4 masked prefix)
+    leaf). Without salting, pass-1 mining funnels ~all rows through a
+    single task; cfg.salt_buckets is the defusal under test. The remaining
+    turns are the normal catalog mix. Deterministic per (conv, turn) like
+    gen_transcripts_range (hot membership + params come from the same
+    splitmix stream), so any slice equals the same slice of a full run."""
+    pdf = gen_transcripts_range(start, end)
+    n_conv = end - start
+    conv_ids = [f"conv-{i:08d}" for i in range(start, end)]
+    seeds = np.array([xxh64(c) & _M64 for c in conv_ids], dtype=np.uint64)
+    ks = (2 + seeds % 19).astype(np.int64)
+    conv_idx = np.repeat(np.arange(n_conv), ks)
+    turn_idx = pdf["turn_idx"].to_numpy().astype(np.int64)
+    mix = _splitmix(
+        seeds[conv_idx].astype(np.uint64) + turn_idx.astype(np.uint64) * np.uint64(_GOLDEN)
+    )
+    hot = ((mix >> np.uint64(48)) % np.uint64(100)).astype(np.int64) < hot_pct
+    pa = ((mix >> np.uint64(24)) & np.uint64(0xFFFF)).astype(np.int64)
+    pb = ((mix >> np.uint64(40)) & np.uint64(0xFFFF)).astype(np.int64)
+    texts = pdf["text"].to_numpy(dtype=object)
+    for i in np.flatnonzero(hot):
+        texts[i] = f"Hot worker {pa[i]} finished job {pb[i]} stage ok"
+    out = pdf.copy()
+    out["text"] = pd.array(texts, dtype="string")
+    return out
+
+
+def materialize_skewed_transcripts(n_conv: int, cache_dir: str = "/tmp/laas_fixtures") -> str:
+    """materialize_transcripts for the adversarial skew corpus."""
+    import os
+
+    path = f"{cache_dir}/transcripts_skewed_{n_conv}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        chunk = 100_000
+        for j, start in enumerate(range(0, n_conv, chunk)):
+            n = min(chunk, n_conv - start)
+            pdf = gen_skewed_transcripts_range(start, start + n)
+            pdf.to_parquet(
+                f"{tmp}/part-{j:04d}.parquet", index=False,
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+        os.replace(tmp, path)
+    return path
+
+
 def gen_tool_lookup() -> pd.DataFrame:
     """FIXTURES.md §2 broadcast enrich table."""
     return pd.DataFrame(

@@ -24,11 +24,16 @@ import json, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from log_analysis_ai_spark.session import get_spark
 from log_analysis_ai_spark.config import PipelineConfig
-from log_analysis_ai_spark.fixtures import materialize_transcripts, gen_tool_lookup, gen_role_lookup
+from log_analysis_ai_spark.fixtures import (
+    materialize_transcripts, materialize_skewed_transcripts,
+    gen_tool_lookup, gen_role_lookup,
+)
 from log_analysis_ai_spark.job import run_checkpointed
 from log_analysis_ai_spark.lineage import SinkStore
 
 cpus = {cpus}
+skewed = {skewed}
+salt_buckets = {salt_buckets}
 # tmpfs for shuffle + warehouse: the sandbox has ONE shared disk, which a
 # 2-point core scaling comparison would mis-read as serial work; a real
 # N->4N cluster scales disk with nodes, tmpfs models node-local storage.
@@ -37,13 +42,15 @@ _scratch = tempfile.mkdtemp(prefix=f"scal_local{{cpus}}_", dir="/dev/shm")
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=2*cpus,
                   extra_conf={{"spark.local.dir": _scratch}})
-t = spark.read.parquet(materialize_transcripts({convs}))
+mat = materialize_skewed_transcripts if skewed else materialize_transcripts
+t = spark.read.parquet(mat({convs}))
 n = t.count()
 wh = tempfile.mkdtemp(prefix=f"scal{{cpus}}_", dir="/dev/shm")
+cfg = PipelineConfig(salt_buckets=salt_buckets) if salt_buckets else PipelineConfig()
 t0 = time.time()
 out = run_checkpointed(spark, t, spark.createDataFrame(gen_tool_lookup()),
                        spark.createDataFrame(gen_role_lookup()), SinkStore(wh),
-                       PipelineConfig(), resume=False, input_desc="scaling")
+                       cfg, resume=False, input_desc="scaling")
 wall = time.time() - t0
 sinks = sorted((str(r.template_class), str(r.anomaly_flag), int(r.n)) for r in out["sink_counts"].collect())
 stages = {{r["stage"]: r["wall_s"] for r in SinkStore(wh).lineage_rows()}}
@@ -56,8 +63,10 @@ print("RESULT " + json.dumps({{"cpus": cpus, "turns": n, "wall_s": round(wall, 2
 """
 
 
-def run_level(repo: str, cpus: int, convs: int) -> dict:
-    code = CHILD.format(repo=repo, cpus=cpus, convs=convs)
+def run_level(repo: str, cpus: int, convs: int, skewed: bool = False,
+              salt_buckets: int | None = None) -> dict:
+    code = CHILD.format(repo=repo, cpus=cpus, convs=convs, skewed=skewed,
+                        salt_buckets=salt_buckets or 0)
     # taskset: confine the whole process tree (JVM + python UDF workers +
     # GC/shuffle threads) to `cpus` physical cores — local[N] alone only
     # caps JVM task slots, so python workers would leak onto all cores and
@@ -80,6 +89,16 @@ def main() -> int:
                          "wall wins (the sandbox host's throughput drifts "
                          "±20%% over minutes — measured via the triad health "
                          "probe recorded with every child run)")
+    ap.add_argument("--skewed", action="store_true",
+                    help="adversarial corpus: ~92%% of turns ONE template "
+                         "shape (one Drain shard) — worst case for mining "
+                         "parallelism; salting is the defusal under test")
+    ap.add_argument("--salt-buckets", type=int, default=None,
+                    help="override cfg.salt_buckets (1 disables salting)")
+    ap.add_argument("--tag", default=None,
+                    help="write BENCH/BASELINE_<tag>.md instead of "
+                         "BENCH/BASELINE.md (so special runs don't clobber "
+                         "the headline report)")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -89,7 +108,7 @@ def main() -> int:
     for _ in range(max(args.repeats, 1)):
         for cpus in (args.lo, args.hi):  # interleave: adjacent host states
             health = round(triad_aggregate(8), 1)  # fixed-width hw yardstick
-            r = run_level(repo, cpus, args.convs)
+            r = run_level(repo, cpus, args.convs, args.skewed, args.salt_buckets)
             r["triad8_gbs_before"] = health
             runs[cpus].append(r)
     # per-level best wall: both levels sampled at (close to) the host's best
@@ -111,6 +130,7 @@ def main() -> int:
             stage_rows += f"| {stage} | {tl:.1f} | {th:.1f} | {se:.2f} |\n"
     result = {
         "metric": "e2e pipeline scaling efficiency",
+        "skewed": args.skewed, "salt_buckets": args.salt_buckets,
         "lo": lo, "hi": hi,
         "efficiency": round(eff, 3),
         "sink_counts_equal": counts_equal,
@@ -163,9 +183,16 @@ so the normalized number is the cluster-relevant one).
     except FileNotFoundError:
         pass
     os.makedirs(f"{repo}/BENCH", exist_ok=True)
-    with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
+    out_md = (
+        f"{repo}/BENCH/BASELINE_{args.tag}.md" if args.tag else f"{repo}/BENCH/BASELINE.md"
+    )
+    corpus_note = (
+        "ADVERSARIAL SKEW corpus: ~92% of turns share ONE template shape "
+        "(one Drain shard)" if args.skewed else "deterministic synthetic transcript table"
+    ) + (f"; salt_buckets={args.salt_buckets}" if args.salt_buckets else "")
+    with open(out_md, "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — scaling evidence
+            f"""# BENCH/BASELINE{f' ({args.tag})' if args.tag else ''} — scaling evidence ({corpus_note})
 
 End-to-end pipeline (parse → two-pass Drain mine → enrich → route-fanout →
 aggregate, all stages checkpointed) on the deterministic synthetic
