@@ -910,6 +910,37 @@ def _pipeline_template_counts(spark, sf_dir):
     )
 
 
+def _docs_sample_deterministic(spark, sf_dir):
+    """Deterministic hash sampling (training-data curation): selection is a
+    pure function of (doc_id, salt) — identical at any parallelism/retry,
+    unlike df.sample's per-partition RNG. ORACLED via the engine-portable
+    Knuth multiplicative hash (the at-scale default is xxhash64, pinned
+    equivalent in behavior by tests)."""
+    from log_analysis_ai_spark.operators.sampling import KNUTH_M, deterministic_sample, knuth_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(
+            d, 0.2, "doc_id", hash_expr=knuth_hash("doc_id", salt=7), hash_range=KNUTH_M
+        )
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _events_stratified_cap(spark, sf_dir):
+    """Per-group cap (the 'no domain may dominate the corpus' curation
+    rule): at most 50 events per event_type, chosen by deterministic hash
+    order — survivors are a pure function of the data, ORACLED row-exact
+    via the portable Knuth hash."""
+    from log_analysis_ai_spark.operators.sampling import knuth_hash, stratified_cap
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_cap(
+        ev, "event_type", cap=50, key_cols="event_id", hash_expr=knuth_hash("event_id")
+    ).orderBy("event_type", "event_id")
+
+
 def _pipeline_dead_letter(spark, sf_dir):
     """Dead-letter routing through the CHECKPOINTED job (VERDICT r4
     next-round #4): events rendered as transcripts with planted malformed
@@ -1052,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_counts": _pipeline_sink_counts,
         "pipeline_agg_template_tool": _pipeline_agg_template_tool,
         "pipeline_dead_letter": _pipeline_dead_letter,
+        "docs_sample_deterministic": _docs_sample_deterministic,
+        "events_stratified_cap": _events_stratified_cap,
     }
 
 
@@ -1491,6 +1524,24 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE_LINES_CTE}
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # sampling oracles: selection reproduced by the engine-portable
+        # Knuth hash ((key+salt)*2654435761 mod 2^32) — pure row functions,
+        # so even SAMPLING is hash-oracled
+        "docs_sample_deterministic": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE ((doc_id + 7) * 2654435761) % 4294967296 < {int(0.2 * (1 << 32))}
+            ORDER BY doc_id
+        """,
+        "events_stratified_cap": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY (event_id * 2654435761) % 4294967296, event_id
+                     ) AS rk
+              FROM events
+            ) WHERE rk <= 50 ORDER BY event_type, event_id
         """,
         # mirrors job.reject_reason's first-match-wins precedence:
         # null_conv_id > null_text > oversize_text > null_ts

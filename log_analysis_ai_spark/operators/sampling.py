@@ -1,0 +1,104 @@
+"""Deterministic sampling / capping operators for training-data curation.
+
+The 100 TB problem with `df.sample()`: Bernoulli sampling draws from a
+per-partition RNG stream, so the selected SET depends on partitioning and
+task retries — two runs of the same job can ship different corpora, and an
+incremental re-run cannot reproduce yesterday's sample. Curation pipelines
+need sampling that is a PURE FUNCTION of the row key:
+
+- `deterministic_sample`: keep a row iff hash(key, salt) falls under the
+  fraction. Same rows selected at any parallelism, any retry, any day —
+  and a DIFFERENT salt draws an independent sample (e.g. train/holdout
+  splits that provably never overlap when fractions sum ≤ 1 over disjoint
+  hash ranges).
+- `stratified_cap`: at most `cap` rows per group (domain, language,
+  near-dup cluster …), chosen by deterministic hash order — the standard
+  "no domain may dominate the corpus" curation rule. One shuffle on the
+  group key; survivors are reproducible, not arrival-ordered.
+
+Both default to xxhash64 (JVM-side, whole-stage codegen). `hash_expr`
+is pluggable so a caller (or an exactness oracle) can substitute any
+integer expression: the entry queries use a Knuth multiplicative hash
+(`knuth_hash`) that DuckDB evaluates identically, making both operators
+hash-ORACLED — rare for sampling operators, possible because selection is
+a pure row function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Knuth's multiplicative constant (2654435761 = 2^32 / golden ratio):
+# well-mixed low bits for sequential keys, and small enough that
+# key * C stays under 2^63 for any key < 2^31 — evaluable in ANY engine
+# with 64-bit integer arithmetic (the property the DuckDB oracles use).
+KNUTH_C = 2654435761
+KNUTH_M = 1 << 32
+
+
+def knuth_hash(col, salt: int = 0) -> Column:
+    """pmod((key + salt) * 2654435761, 2^32) — an engine-portable integer
+    hash for integer keys. Weaker mixing than xxhash64 (use that at scale);
+    exists so sampling decisions can be reproduced in plain SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod((c + F.lit(salt)) * F.lit(KNUTH_C), F.lit(KNUTH_M))
+
+
+def xxhash(cols, salt: int = 0) -> Column:
+    """Non-negative xxhash64 over the key columns (the at-scale default)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return F.pmod(F.xxhash64(*cols, F.lit(salt)), F.lit(1 << 62))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols,
+    salt: int = 0,
+    hash_expr: Column | None = None,
+    hash_range: int = 1 << 62,
+) -> DataFrame:
+    """Keep rows whose hash(key, salt) < fraction · hash_range — a pure
+    row function, so the sample is identical at any parallelism / retry /
+    re-run (unlike df.sample's per-partition RNG). Narrow codegen filter,
+    no shuffle; pushes down to the scan when the key is a stored column.
+
+    Disjoint fractions of the SAME salt partition the corpus: selecting
+    [0, 0.9) for train via fraction=0.9 and the complement for holdout
+    (filter the inverse) provably never overlaps."""
+    h = hash_expr if hash_expr is not None else xxhash(key_cols, salt)
+    return df.filter(h < F.lit(int(fraction * hash_range)))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_cols,
+    cap: int,
+    key_cols=None,
+    salt: int = 0,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """At most `cap` rows per group, chosen by deterministic hash order
+    (ties broken by the key columns themselves, so the survivor set is a
+    pure function of the data). ONE shuffle on the group key; the
+    row_number window is bounded by the group, and partial ordering is
+    computed map-side by the sort-based window operator.
+
+    Skew note (the 100 TB reading): a single hot group funnels through one
+    task here — that is inherent to exact per-group capping. When only an
+    approximate cap is needed for a hot-domain guard, pre-filter with
+    `deterministic_sample(cap / est_group_size)` per hot key first and cap
+    exactly afterwards; the window then sees at most ~cap·(1+ε) rows per
+    group."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    key_cols = key_cols if key_cols is not None else group_cols
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h = hash_expr if hash_expr is not None else xxhash(key_cols, salt)
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), *[F.col(c).asc() for c in key_cols])
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

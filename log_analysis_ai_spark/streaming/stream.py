@@ -60,6 +60,22 @@ def windowed_template_counts(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame, key_cols, ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: drop rows whose key was already
+    seen within the watermark horizon (`dropDuplicatesWithinWatermark`).
+    This is the 100 TB-viable shape — a bare `dropDuplicates` on a stream
+    keeps every key in state forever; the watermark lets Spark expire keys
+    older than the horizon, so state is O(keys per horizon), not O(keys
+    ever). Use upstream of the online miner when the source is
+    at-least-once (file redelivery, replayed Kafka offsets): assignment is
+    deterministic, so duplicate turns would otherwise double-count every
+    downstream aggregate."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def stream_pipeline(
     stream_df: DataFrame,
     catalogs: dict[str, list[list[str]]],

@@ -1,0 +1,82 @@
+"""Deterministic sampling/capping (training-data curation): selection must
+be a pure function of the row key — identical at any parallelism or row
+order, splits disjoint, caps exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_ai_spark.operators.sampling import (
+    KNUTH_M,
+    deterministic_sample,
+    knuth_hash,
+    stratified_cap,
+)
+
+
+def _docs(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), F.pmod("id", F.lit(7))).alias("grp"),
+    )
+
+
+def test_sample_invariant_to_partitioning_and_order(spark):
+    d = _docs(spark)
+    a = {r.doc_id for r in deterministic_sample(d.repartition(2), 0.3, "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(
+            d.orderBy(F.desc("doc_id")).repartition(17), 0.3, "doc_id"
+        ).collect()
+    }
+    assert a == b and 0 < len(a) < 500
+    # fraction is approximately honored (hash uniformity, not exactness)
+    assert 0.2 < len(a) / 500 < 0.4
+
+
+def test_sample_splits_are_disjoint_and_exhaustive(spark):
+    """fraction f and its complement (same salt) partition the corpus —
+    the train/holdout contract."""
+    d = _docs(spark)
+    from log_analysis_ai_spark.operators.sampling import xxhash
+
+    train = {r.doc_id for r in deterministic_sample(d, 0.7, "doc_id").collect()}
+    hold = {
+        r.doc_id
+        for r in d.filter(~(xxhash("doc_id", 0) < F.lit(int(0.7 * (1 << 62))))).collect()
+    }
+    assert train.isdisjoint(hold)
+    assert len(train) + len(hold) == 500
+    # a different salt draws a genuinely different sample
+    other = {r.doc_id for r in deterministic_sample(d, 0.7, "doc_id", salt=99).collect()}
+    assert other != train
+
+
+def test_stratified_cap_exact_and_invariant(spark):
+    d = _docs(spark)
+    capped = stratified_cap(d.repartition(13), "grp", cap=20, key_cols="doc_id")
+    rows = capped.collect()
+    per = {}
+    for r in rows:
+        per[r.grp] = per.get(r.grp, 0) + 1
+    assert all(v == 20 for v in per.values()) and len(per) == 7
+    again = stratified_cap(
+        d.orderBy(F.desc("doc_id")).repartition(3), "grp", cap=20, key_cols="doc_id"
+    )
+    assert {(r.grp, r.doc_id) for r in again.collect()} == {(r.grp, r.doc_id) for r in rows}
+    # small groups survive whole
+    tiny = stratified_cap(d.filter(F.col("doc_id") < 5), "grp", cap=20, key_cols="doc_id")
+    assert tiny.count() == 5
+
+
+def test_knuth_hash_matches_reference_formula(spark):
+    """The portable hash must equal the plain-SQL formula the DuckDB
+    oracles use — pin it against a Python evaluation."""
+    got = {
+        r.doc_id: r.h
+        for r in _docs(spark, 50)
+        .select("doc_id", knuth_hash("doc_id", salt=7).alias("h"))
+        .collect()
+    }
+    assert got == {i: ((i + 7) * 2654435761) % KNUTH_M for i in range(50)}

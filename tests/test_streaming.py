@@ -341,3 +341,30 @@ def test_online_schema_version_gate(spark, tmp_path):
     with pytest.raises(RuntimeError, match="predates state-schema versioning"):
         stream_pipeline_online(stream_lines(spark, in_dir, SCHEMA),
                                str(tmp_path / "svout2"), legacy, CFG)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once input (the same (conv_id, turn_idx) keys redelivered
+    in a later file) must reach the sink exactly once; state stays bounded
+    by the watermark horizon (dropDuplicatesWithinWatermark)."""
+    from log_analysis_ai_spark.streaming.stream import stream_dedup
+
+    base_ts = gen_transcripts(2).ts.iloc[0]
+    rows = [{"conv_id": f"dd-{i:03d}", "turn_idx": 0, "role": "user",
+             "text": f"payload number {i}", "tool": "none",
+             "ts": (base_ts + __import__("pandas").Timedelta(seconds=i)).isoformat()}
+            for i in range(30)]
+    in_dir = str(tmp_path / "ddin"); os.makedirs(in_dir)
+    _write_jsonl(f"{in_dir}/f0.jsonl", rows)
+    _write_jsonl(f"{in_dir}/f1.jsonl", rows[:20])   # redelivery of 20 keys
+    _write_jsonl(f"{in_dir}/f2.jsonl", rows[10:])   # and another overlap
+    out_dir, ckpt = str(tmp_path / "ddout"), str(tmp_path / "ddck")
+
+    stream = stream_lines(spark, in_dir, SCHEMA, max_files_per_trigger=1)
+    deduped = stream_dedup(stream, ["conv_id", "turn_idx"], watermark="10 minutes")
+    q = (deduped.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).groupBy("conv_id", "turn_idx").count().collect()
+    assert len(got) == 30
+    assert all(r["count"] == 1 for r in got)
