@@ -941,6 +941,50 @@ def _events_stratified_cap(spark, sf_dir):
     ).orderBy("event_type", "event_id")
 
 
+def _scrub_oracle_sql() -> str:
+    """DuckDB rendering of _events_scrub_pii: printf rebuilds the planted
+    line, then the scrub chain applies the SAME pattern strings (single
+    source: functions.text.DEFAULT_SCRUB_PATTERNS) innermost-first with
+    the 'g' flag (Spark's regexp_replace is global by default)."""
+    from log_analysis_ai_spark.functions.text import DEFAULT_SCRUB_PATTERNS
+
+    expr = (
+        "printf('user%d@example.com logged from 10.0.%d.%d card 4111111111111111 "
+        "key deadbeefdeadbeefdeadbeefdeadbeef%04d phone +1 (555) 123-%04d during %s', "
+        "user_id % 1000, event_id % 256, user_id % 256, "
+        "CAST(event_id % 10000 AS INT), CAST(user_id % 10000 AS INT), event_type)"
+    )
+    for pat, repl in DEFAULT_SCRUB_PATTERNS:
+        # duckdb single-quoted literals keep backslashes verbatim (no E'')
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return f"SELECT event_id, {expr} AS clean FROM events ORDER BY event_id"
+
+
+def _events_scrub_pii(spark, sf_dir):
+    """PII redaction pass (training-corpus shipping gate): planted emails /
+    IPs / card numbers / hex secrets / phone shapes must all mask to typed
+    placeholders. ORACLED — the scrub chain is restricted to the
+    Java-regex ∩ RE2 dialect, so DuckDB applies the IDENTICAL patterns."""
+    from log_analysis_ai_spark.functions.text import scrub_pii
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            "user%d@example.com logged from 10.0.%d.%d card 4111111111111111 "
+            "key deadbeefdeadbeefdeadbeefdeadbeef%04d phone +1 (555) 123-%04d during %s",
+            F.pmod("user_id", F.lit(1000)),
+            F.pmod("event_id", F.lit(256)),
+            F.pmod("user_id", F.lit(256)),
+            F.pmod("event_id", F.lit(10000)).cast("int"),
+            F.pmod("user_id", F.lit(10000)).cast("int"),
+            "event_type",
+        ).alias("raw"),
+    )
+    return lines.select("event_id", scrub_pii("raw").alias("clean")).orderBy("event_id")
+
+
 def _pipeline_dead_letter(spark, sf_dir):
     """Dead-letter routing through the CHECKPOINTED job (VERDICT r4
     next-round #4): events rendered as transcripts with planted malformed
@@ -1085,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dead_letter": _pipeline_dead_letter,
         "docs_sample_deterministic": _docs_sample_deterministic,
         "events_stratified_cap": _events_stratified_cap,
+        "events_scrub_pii": _events_scrub_pii,
     }
 
 
@@ -1525,6 +1570,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
+        # scrub oracle: the SAME pattern strings (Java-regex ∩ RE2 dialect),
+        # chained innermost-first exactly like the Spark expression
+        "events_scrub_pii": _scrub_oracle_sql(),
         # sampling oracles: selection reproduced by the engine-portable
         # Knuth hash ((key+salt)*2654435761 mod 2^32) — pure row functions,
         # so even SAMPLING is hash-oracled

@@ -78,6 +78,36 @@ def doc_fingerprint(col: str = "text"):
     return F.md5(norm)
 
 
+# PII scrub patterns: (regex, replacement), applied IN ORDER (email before
+# phone so an address's digits can't be half-eaten; hex secrets before the
+# card-number rule). Restricted to the Java-regex ∩ RE2 dialect (character
+# classes, bounded repeats, \b — no backrefs/lookaround) so the DuckDB
+# oracle evaluates the IDENTICAL strings; parity pinned by the
+# events_scrub_pii hash gate.
+DEFAULT_SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b[A-Fa-f0-9]{32,}\b", "<SECRET>"),
+    (r"\b\d{13,19}\b", "<NUM>"),
+    (r"\+?\d[\d() -]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(col: str = "text", patterns: tuple[tuple[str, str], ...] = DEFAULT_SCRUB_PATTERNS):
+    """Mask common PII shapes (emails, IPv4, hex secrets ≥32, 13-19-digit
+    card-like runs, phone-like runs) with typed placeholder tokens — the
+    standard redaction pass before a corpus ships to training. A chain of
+    JVM `regexp_replace` calls: pure codegen, no UDF, order-deterministic.
+    Pattern-shaped redaction only — it cannot catch free-text PII (names,
+    addresses); that genuinely needs an NER model this container doesn't
+    ship, and SHOULD run as a Pandas-UDF stage after this cheap pass has
+    handled the high-volume mechanical shapes."""
+    c = F.col(col)
+    for pat, repl in patterns:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Attach the full text-analysis column set in one narrow projection."""
     return (

@@ -439,3 +439,27 @@ def test_fingerprint_normalization(spark):
     )
     fps = {r.id: r.fp for r in df.select("id", doc_fingerprint().alias("fp")).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_scrub_pii_masks_all_shapes(spark):
+    """Every DEFAULT_SCRUB_PATTERNS shape masks to its typed token; clean
+    text passes through untouched; application order protects emails from
+    the phone rule."""
+    from log_analysis_ai_spark.functions.text import scrub_pii
+
+    rows = [
+        ("contact bob.smith+x@ex-ample.co.uk now", "contact <EMAIL> now"),
+        ("from 10.0.12.7 port 443", "from <IP> port 443"),
+        ("card 4111111111111111 used", "card <NUM> used"),
+        ("key deadbeefdeadbeefdeadbeefdeadbeef12 set", "key <SECRET> set"),
+        ("call +1 (555) 123-4567 ok", "call <PHONE> ok"),
+        # \b guards: a letter-prefixed dotted version is NOT an IP
+        ("digits 123 and v1.2.3.4 stay semver-ish", "digits 123 and v1.2.3.4 stay semver-ish"),
+        ("bare 1.2.3.4 IS an ip", "bare <IP> IS an ip"),
+        ("user42@host.org or 555 867 5309", "<EMAIL> or <PHONE>"),
+        ("no pii here at all", "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "t string, want string")
+    got = df.select("want", scrub_pii("t").alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, (r.want, r.got)
