@@ -961,6 +961,46 @@ def _scrub_oracle_sql() -> str:
     return f"SELECT event_id, {expr} AS clean FROM events ORDER BY event_id"
 
 
+def _events_value_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (p50/p90/p99 of value per event_type).
+    ORACLED bit-exact: Spark's `percentile` and DuckDB's `quantile_cont`
+    share the identical linear-interpolation formula (verified to the last
+    ulp before rounding). The approx_percentile path is the 10^12-row
+    variant (group_percentiles(exact=False))."""
+    from log_analysis_ai_spark.queries import group_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    p = group_percentiles(ev, "event_type", "value", ps=(0.5, 0.9, 0.99))
+    return p.select(
+        "event_type",
+        F.round("p5", 6).alias("p50"),
+        F.round("p9", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    ).orderBy("event_type")
+
+
+def _events_asof_last_error(spark, sf_dir):
+    """AS-OF join (attach the latest error at-or-before each event, per
+    user) — DuckDB has a native ASOF JOIN, which makes this composition
+    (union + side-ordered running last over ONE key shuffle) hash-ORACLED
+    against a real reference implementation of the semantics."""
+    from log_analysis_ai_spark.operators.context import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "error").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    j = asof_join(left, right, "user_id", ts_col="ts")
+    # no-match NULLs → sentinels: the driver's row canonicalizer sorts cell
+    # tuples and None does not order against ints/timestamps
+    return j.select(
+        "user_id", "ts", "event_id",
+        F.coalesce("asof_ts", F.lit("1970-01-01").cast("timestamp")).alias("asof_ts"),
+        F.coalesce("asof_err_id", F.lit(-1)).alias("asof_err_id"),
+    ).orderBy("event_id")
+
+
 def _events_scrub_pii(spark, sf_dir):
     """PII redaction pass (training-corpus shipping gate): planted emails /
     IPs / card numbers / hex secrets / phone shapes must all mask to typed
@@ -1130,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_deterministic": _docs_sample_deterministic,
         "events_stratified_cap": _events_stratified_cap,
         "events_scrub_pii": _events_scrub_pii,
+        "events_value_percentiles": _events_value_percentiles,
+        "events_asof_last_error": _events_asof_last_error,
     }
 
 
@@ -1569,6 +1611,28 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE_LINES_CTE}
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # duplicate right (user, ts) rows are collapsed to max(event_id) —
+        # exactly the deterministic max-value-tuple tiebreak asof_join uses
+        "events_asof_last_error": """
+            WITH l AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type <> 'error'
+            ), r AS (
+              SELECT user_id, ts, max(event_id) AS err_id
+              FROM events WHERE event_type = 'error' GROUP BY 1, 2
+            )
+            SELECT l.user_id, l.ts, l.event_id,
+                   coalesce(r.ts, TIMESTAMP '1970-01-01') AS asof_ts,
+                   coalesce(r.err_id, -1) AS asof_err_id
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
         """,
         # scrub oracle: the SAME pattern strings (Java-regex ∩ RE2 dialect),
         # chained innermost-first exactly like the Spark expression

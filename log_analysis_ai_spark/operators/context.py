@@ -75,3 +75,70 @@ def causal_window(
         )
         .drop("_m")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols,
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """AS-OF join: attach to each left row the LATEST right row with
+    right.ts <= left.ts within the same key — the time-series enrichment
+    staple (market ticks, config snapshots, slowly-changing dims). DuckDB
+    ships it as `ASOF JOIN`; Spark has no native operator, so this is the
+    scalable composition: UNION both sides with a side marker, ONE shuffle
+    on the key, and a running `last(value, ignorenulls)` window over
+    (ts, side) order — right rows sort BEFORE left rows at equal ts, so a
+    same-instant right row IS visible (<= semantics). No per-left-row
+    probe, no broadcast requirement; cost is one sort-shuffle of
+    |left|+|right| on the key (the same price a co-partitioned merge join
+    would pay), and skew is bounded by the hottest key's time-series
+    length. Left rows with no preceding right row keep NULLs (left-outer
+    semantics).
+
+    `value_cols` (default: right's non-key, non-ts columns) are attached
+    as `{prefix}{col}`, plus `{prefix}{ts_col}` — the matched right
+    timestamp."""
+    from pyspark.sql.window import Window
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(key_cols) | {ts_col}]
+    carried = [ts_col] + value_cols
+    rv = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("_rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns if c not in set(key_cols) | {ts_col}],
+    )
+    lv = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rv.schema["_rv"].dataType).alias("_rv"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns if c not in set(key_cols) | {ts_col}],
+    )
+    u = rv.unionByName(lv)
+    # final order key: the carried struct itself — if the right side has
+    # duplicate (key, ts) rows, the winner is the max value tuple,
+    # deterministically (not whichever partition happened to arrive last)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_rv").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    out = matched.select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns if c not in set(key_cols) | {ts_col}],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in carried],
+    )
+    return out

@@ -78,6 +78,27 @@ def summarize(df: DataFrame) -> DataFrame:
     )
 
 
+def group_percentiles(
+    df: DataFrame,
+    group_cols,
+    col: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group percentiles of a numeric column. `exact=True` uses Spark's
+    `percentile` (linear interpolation — bit-identical to DuckDB's
+    quantile_cont, which is what makes this hash-oracled); it buffers each
+    group's values, so at 10^12-row groups switch to `exact=False`
+    (approx_percentile / KLL sketch: bounded memory, mergeable map-side —
+    the 100 TB path, at the cost of oracle exactness)."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    fn = "percentile" if exact else "approx_percentile"
+    aggs = [
+        F.expr(f"{fn}({col}, {p})").alias(f"p{str(p).replace('0.', '')}") for p in ps
+    ]
+    return df.groupBy(*group_cols).agg(*aggs).orderBy(*group_cols)
+
+
 def statistics(df: DataFrame, col: str) -> DataFrame:
     """Descriptive stats of a numeric column (reference:
     python/data_analysis_agent.py:161-169): mean/median/std/min/max/count/

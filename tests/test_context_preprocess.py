@@ -156,3 +156,55 @@ def test_multi_file_merge_ordered(spark, tmp_path):
     merged = multi_file_merge(spark, [str(tmp_path / "f0.jsonl"), str(tmp_path / "f1.jsonl")])
     msgs = [r.message for r in merged.collect()]
     assert msgs == ["h10", "h11", "h12", "h13"]  # k-way timestamp order
+
+
+def test_asof_join_hand_case(spark):
+    """Hand-built AS-OF case: latest right row with ts <= left.ts per key;
+    same-instant right row visible (<=); no preceding row → NULLs;
+    duplicate right (key, ts) resolved to the max value tuple
+    deterministically."""
+    from log_analysis_ai_spark.operators.context import asof_join
+
+    L = spark.createDataFrame(
+        [("a", 5, "l1"), ("a", 10, "l2"), ("a", 2, "l0"), ("b", 7, "l3"), ("c", 1, "l4")],
+        "k string, ts long, payload string",
+    )
+    R = spark.createDataFrame(
+        [("a", 3, 30), ("a", 10, 100), ("a", 10, 101), ("b", 7, 70), ("b", 9, 90)],
+        "k string, ts long, rv int",
+    )
+    got = {
+        (r.k, r.ts): (r.asof_ts, r.asof_rv)
+        for r in asof_join(L, R, "k", ts_col="ts").collect()
+    }
+    assert got == {
+        ("a", 5): (3, 30),
+        ("a", 10): (10, 101),   # same-instant visible; dup resolved to max
+        ("a", 2): (None, None),  # nothing at or before
+        ("b", 7): (7, 70),       # b@9 is in the future → ignored
+        ("c", 1): (None, None),  # key with no right rows at all
+    }
+    # partition invariance: identical result from a scrambled layout
+    again = {
+        (r.k, r.ts): (r.asof_ts, r.asof_rv)
+        for r in asof_join(
+            L.orderBy(F.desc("ts")).repartition(7), R.repartition(3), "k", ts_col="ts"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_group_percentiles_exact_and_approx(spark):
+    """Exact percentiles interpolate linearly (pinned against numpy);
+    the approx path returns values from the column's actual domain."""
+    import numpy as np
+
+    from log_analysis_ai_spark.queries import group_percentiles
+
+    vals = [1.0, 3.0, 4.5, 7.25, 9.0, 100.0, 2.5]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = group_percentiles(df, "g", "v", ps=(0.5, 0.9)).collect()[0]
+    assert abs(r.p5 - np.percentile(vals, 50)) < 1e-9
+    assert abs(r.p9 - np.percentile(vals, 90)) < 1e-9
+    ra = group_percentiles(df, "g", "v", ps=(0.5,), exact=False).collect()[0]
+    assert ra.p5 in vals  # KLL sketch returns an actual element
