@@ -961,6 +961,28 @@ def _scrub_oracle_sql() -> str:
     return f"SELECT event_id, {expr} AS clean FROM events ORDER BY event_id"
 
 
+def _conv_stats(spark, sf_dir):
+    """conversation_stats over an events-derived transcript mapping (conv =
+    user): turn counts, span, tool diversity, per-role mix — ORACLED
+    (every derived column is a pure function of event fields)."""
+    from log_analysis_ai_spark.queries import conversation_stats
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        F.element_at(
+            F.array(*[F.lit(r) for r in _PIPE_ROLES]),
+            (F.pmod("event_id", F.lit(4)) + 1).cast("int"),
+        ).alias("role"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _PIPE_TOOLS]),
+            (F.pmod("event_id", F.lit(6)) + 1).cast("int"),
+        ).alias("tool"),
+    )
+    return conversation_stats(t)
+
+
 def _events_value_percentiles(spark, sf_dir):
     """Exact per-group percentiles (p50/p90/p99 of value per event_type).
     ORACLED bit-exact: Spark's `percentile` and DuckDB's `quantile_cont`
@@ -1172,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scrub_pii": _events_scrub_pii,
         "events_value_percentiles": _events_value_percentiles,
         "events_asof_last_error": _events_asof_last_error,
+        "conv_stats": _conv_stats,
     }
 
 
@@ -1611,6 +1634,27 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE_LINES_CTE}
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "conv_stats": """
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id, ts,
+                     (['user', 'assistant', 'tool', 'system'])
+                         [CAST(event_id % 4 AS INT) + 1] AS role,
+                     (['search', 'browser', 'python', 'bash', 'editor', 'none'])
+                         [CAST(event_id % 6 AS INT) + 1] AS tool
+              FROM events
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts,
+                   CAST(epoch(date_trunc('second', max(ts))) AS BIGINT)
+                     - CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS span_s,
+                   CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         "events_value_percentiles": """
             SELECT event_type,

@@ -78,6 +78,34 @@ def summarize(df: DataFrame) -> DataFrame:
     )
 
 
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation rollup — the transcripts-domain profile the
+    reference computes per-session driver-side (python/logai_agent.py's
+    summary dicts), here one partial-aggregated groupBy: turn count,
+    time span, distinct tools, per-role turn counts. Map-side combine
+    keeps the shuffle at one row per conversation."""
+    return (
+        df.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            (F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))).alias("span_s"),
+            F.countDistinct(tool_col).alias("n_tools"),
+            F.sum(F.when(F.col(role_col) == "user", 1).otherwise(0)).alias("n_user"),
+            F.sum(F.when(F.col(role_col) == "assistant", 1).otherwise(0)).alias("n_assistant"),
+            F.sum(F.when(F.col(role_col) == "tool", 1).otherwise(0)).alias("n_tool_turns"),
+        )
+        .orderBy(conv_col)
+    )
+
+
 def group_percentiles(
     df: DataFrame,
     group_cols,

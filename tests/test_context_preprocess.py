@@ -208,3 +208,19 @@ def test_group_percentiles_exact_and_approx(spark):
     assert abs(r.p9 - np.percentile(vals, 90)) < 1e-9
     ra = group_percentiles(df, "g", "v", ps=(0.5,), exact=False).collect()[0]
     assert ra.p5 in vals  # KLL sketch returns an actual element
+
+
+def test_asof_join_single_key_exchange(spark):
+    """Plan pin: asof_join costs exactly ONE hash exchange (on the key) —
+    the union must not introduce extra fact-scale shuffles."""
+    from log_analysis_ai_spark.operators.context import asof_join
+
+    L = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts"), F.col("id").alias("v")
+    )
+    R = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("ts"), F.col("id").alias("rv")
+    )
+    plan = asof_join(L, R, "k", ts_col="ts")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(k#" in plan
