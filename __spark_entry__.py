@@ -961,6 +961,20 @@ def _scrub_oracle_sql() -> str:
     return f"SELECT event_id, {expr} AS clean FROM events ORDER BY event_id"
 
 
+def _docs_bm25(spark, sf_dir):
+    """BM25 ranked retrieval over documents (public Okapi formula) —
+    ORACLED: both engines evaluate the identical tokenization
+    ([^a-z0-9]+ split, empties dropped) and scoring expression; the oracle
+    orders by the UNROUNDED score so the top-n SET matches even at
+    rounding boundaries."""
+    from log_analysis_ai_spark.queries import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(d, ["spark", "window", "merge"], top_n=25).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _conv_stats(spark, sf_dir):
     """conversation_stats over an events-derived transcript mapping (conv =
     user): turn counts, span, tool diversity, per-role mix — ORACLED
@@ -1195,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_percentiles": _events_value_percentiles,
         "events_asof_last_error": _events_asof_last_error,
         "conv_stats": _conv_stats,
+        "docs_bm25": _docs_bm25,
     }
 
 
@@ -1634,6 +1649,35 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE_LINES_CTE}
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "docs_bm25": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, len(toks) AS dl, toks FROM d
+            ), stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+            ), hits AS (
+              SELECT doc_id, dl, t, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dl)
+              WHERE t IN ('merge', 'spark', 'window')
+              GROUP BY 1, 2, 3
+            ), dfreq AS (
+              SELECT t, count(*) AS df FROM hits GROUP BY 1
+            ), scored AS (
+              SELECT h.doc_id,
+                     sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                         * (h.tf * 2.2)
+                         / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))) AS score
+              FROM hits h JOIN dfreq f USING (t) CROSS JOIN stats s
+              GROUP BY 1
+            )
+            SELECT doc_id, round(s, 4) AS score
+            FROM (SELECT doc_id, score AS s FROM scored
+                  ORDER BY score DESC, doc_id LIMIT 25)
         """,
         "conv_stats": """
             WITH t AS (

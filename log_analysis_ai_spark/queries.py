@@ -78,6 +78,57 @@ def summarize(df: DataFrame) -> DataFrame:
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_n: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Okapi, the public formula) — the
+    ranked upgrade of the reference's substring search, all native ops.
+
+    Scale shape: the ONLY fact-scale work is one tokenize+explode that is
+    filtered to the query's terms BEFORE aggregation (a ~|terms|-selective
+    filter under the explode), so the (doc, term) aggregation and
+    everything after it is term-hit-sized, not corpus-sized. Document
+    length comes from a narrow `size(split(...))` projection (no explode),
+    corpus stats are a 1-row broadcast, per-term document frequencies a
+    ≤|terms|-row broadcast. idf = ln(1 + (N - df + .5)/(df + .5));
+    tf-normalized score summed per doc → TakeOrderedAndProject."""
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.filter(F.split(F.lower(F.col(col)), "[^a-z0-9]+"), lambda x: x != "")
+    base = docs.select(F.col(id_col), toks.alias("_toks")).withColumn("_dl", F.size("_toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    hits = (
+        base.select(id_col, "_dl", F.explode("_toks").alias("_t"))
+        .filter(F.col("_t").isin(terms))
+        .groupBy(id_col, "_dl", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = hits.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "_t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf", F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(top_n)
+
+
 def conversation_stats(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -125,3 +125,32 @@ def test_trending(spark, turns):
     top = Q.trending_templates(assigned, k=5).collect()
     assert len(top) == 5
     assert top[0]["count"] >= top[-1]["count"]
+
+
+def test_bm25_hand_computed(spark):
+    """Pin the Okapi formula against a by-hand computation on a 3-doc
+    corpus, including tokenization (case fold, punctuation split, empties
+    dropped) and the dl/avgdl length normalization."""
+    import math
+
+    from log_analysis_ai_spark.queries import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark spark SPARK!"),          # tf=3, dl=3
+            (2, "spark is fast, very fast"),    # tf=1, dl=5
+            (3, "duck pond water"),             # tf=0, dl=3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25_search(docs, ["spark"], top_n=10).collect()}
+    n, df_t, avgdl, k1, b = 3, 2, (3 + 5 + 3) / 3, 1.2, 0.75
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(got) == {1, 2}  # doc 3 never scores
+    assert abs(got[1] - s(3, 3)) < 1e-12
+    assert abs(got[2] - s(1, 5)) < 1e-12
+    assert got[1] > got[2]  # higher tf, shorter doc ranks first

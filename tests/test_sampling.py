@@ -80,3 +80,15 @@ def test_knuth_hash_matches_reference_formula(spark):
         .collect()
     }
     assert got == {i: ((i + 7) * 2654435761) % KNUTH_M for i in range(50)}
+
+
+def test_sample_fraction_monotone_nesting(spark):
+    """With one salt, samples NEST: sample(f1) ⊆ sample(f2) for f1 < f2 —
+    the property that lets a pipeline grow a corpus subset without
+    reshuffling membership (hash < threshold is monotone in threshold)."""
+    d = _docs(spark)
+    s10 = {r.doc_id for r in deterministic_sample(d, 0.1, "doc_id").collect()}
+    s30 = {r.doc_id for r in deterministic_sample(d, 0.3, "doc_id").collect()}
+    s60 = {r.doc_id for r in deterministic_sample(d, 0.6, "doc_id").collect()}
+    assert s10 <= s30 <= s60
+    assert len(s10) < len(s30) < len(s60)
