@@ -961,6 +961,22 @@ def _scrub_oracle_sql() -> str:
     return f"SELECT event_id, {expr} AS clean FROM events ORDER BY event_id"
 
 
+def _events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram with explicit under/overflow buckets —
+    ORACLED via the same portable floor arithmetic."""
+    from log_analysis_ai_spark.queries import value_histogram
+
+    return value_histogram(_t(spark, sf_dir, "events"), "value", lo=0.0, hi=500.0, nbuckets=10)
+
+
+def _events_funnel(spark, sf_dir):
+    """Ordered signup→click→purchase funnel per user (strictly-after min
+    completion times) — ORACLED by the equivalent DuckDB CTE chain."""
+    from log_analysis_ai_spark.queries import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"), ["signup", "click", "purchase"])
+
+
 def _docs_bm25(spark, sf_dir):
     """BM25 ranked retrieval over documents (public Okapi formula) —
     ORACLED: both engines evaluate the identical tokenization
@@ -1210,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_last_error": _events_asof_last_error,
         "conv_stats": _conv_stats,
         "docs_bm25": _docs_bm25,
+        "events_value_histogram": _events_value_histogram,
+        "events_funnel": _events_funnel,
     }
 
 
@@ -1649,6 +1667,33 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE_LINES_CTE}
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_value_histogram": """
+            SELECT bucket, round(0.0 + bucket * 50.0, 6) AS edge_lo, count(*) AS n
+            FROM (
+              SELECT least(greatest(CAST(floor((value - 0.0) / 50.0) AS BIGINT), -1), 10)
+                     AS bucket
+              FROM events
+            ) GROUP BY 1 ORDER BY 1
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT 1 AS step_idx, 'signup' AS step,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+            ORDER BY step_idx
         """,
         "docs_bm25": """
             WITH d AS (

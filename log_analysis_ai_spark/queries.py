@@ -78,6 +78,76 @@ def summarize(df: DataFrame) -> DataFrame:
     )
 
 
+def value_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbuckets: int = 10
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: bucket index, inclusive
+    lower edge, count. Bucket -1 catches underflow (< lo) and `nbuckets`
+    catches overflow (>= hi) — no silent drops. Plain floor arithmetic
+    (portable to any SQL engine — DuckDB 1.0 has no width_bucket), one
+    partial-aggregated groupBy over ≤ nbuckets+2 groups."""
+    w = (hi - lo) / nbuckets
+    b = F.least(
+        F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("long"), F.lit(-1)),
+        F.lit(nbuckets),
+    )
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("edge_lo", F.lit(lo) + F.col("bucket") * F.lit(w))
+        .select("bucket", F.round("edge_lo", 6).alias("edge_lo"), "n")
+        .orderBy("bucket")
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    within_s: int | None = None,
+) -> DataFrame:
+    """Ordered funnel: a user reaches step k when an event of that type
+    occurs STRICTLY AFTER their step-(k-1) completion (the user's earliest
+    qualifying time — min, so completion times are deterministic), and
+    within `within_s` seconds of it when given. Returns (step_idx, step,
+    n_users).
+
+    Scale shape: each step is one equi-join on the user key between that
+    step's filtered events and the (user, t) reach table — reach tables
+    are ≤ |users| rows and shrink monotonically down the funnel; no
+    window over the full fact table, no per-user collect. The driver loop
+    only BUILDS the plan (len(steps) joins); it runs as one job."""
+    from functools import reduce
+
+    reach = (
+        df.filter(F.col(event_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    outs = []
+    for i, step in enumerate(steps):
+        if i > 0:
+            nxt = df.filter(F.col(event_col) == step).select(user_col, F.col(ts_col).alias("_ts"))
+            cond = F.col("_ts") > F.col("_t")
+            if within_s is not None:
+                cond = cond & (F.col("_ts") <= F.col("_t") + F.expr(f"INTERVAL {within_s} SECONDS"))
+            reach = (
+                nxt.join(reach, user_col)
+                .filter(cond)
+                .groupBy(user_col)
+                .agg(F.min("_ts").alias("_t"))
+            )
+        outs.append(
+            reach.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step_idx"), F.lit(step).alias("step"), "n_users"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("step_idx")
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],

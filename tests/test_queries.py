@@ -154,3 +154,42 @@ def test_bm25_hand_computed(spark):
     assert abs(got[1] - s(3, 3)) < 1e-12
     assert abs(got[2] - s(1, 5)) < 1e-12
     assert got[1] > got[2]  # higher tf, shorter doc ranks first
+
+
+def test_funnel_hand_case(spark):
+    """Hand-built funnel: order matters (B-before-A doesn't count), the
+    within window drops late completions, steps shrink monotonically."""
+    from log_analysis_ai_spark.queries import funnel_counts
+
+    rows = [
+        # u1 completes A(10) -> B(20) -> C(30)
+        (1, "A", 10), (1, "B", 20), (1, "C", 30),
+        # u2 has B BEFORE A only -> reaches just A
+        (2, "B", 5), (2, "A", 9),
+        # u3 completes A -> B, no C
+        (3, "A", 1), (3, "B", 2),
+        # u4 never does A
+        (4, "B", 1), (4, "C", 2),
+        # u5: A(0) -> B(100) — dropped by within_s=50, kept unbounded
+        (5, "A", 0), (5, "B", 100),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, sec long").select(
+        "user_id", "event_type", F.timestamp_seconds("sec").alias("ts")
+    )
+    un = {r.step: r.n_users for r in funnel_counts(df, ["A", "B", "C"]).collect()}
+    assert un == {"A": 4, "B": 3, "C": 1}
+    win = {r.step: r.n_users for r in funnel_counts(df, ["A", "B", "C"], within_s=50).collect()}
+    assert win == {"A": 4, "B": 2, "C": 1}
+
+
+def test_value_histogram_edges(spark):
+    """Bucket edges: lo lands in bucket 0, hi overflows to nbuckets,
+    below-lo underflows to -1; counts cover every row."""
+    from log_analysis_ai_spark.queries import value_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-1.0, 0.0, 4.9, 5.0, 9.99, 10.0, 42.0]], "v double"
+    )
+    got = {r.bucket: (r.edge_lo, r.n) for r in value_histogram(df, "v", 0.0, 10.0, 2).collect()}
+    assert got == {-1: (-5.0, 1), 0: (0.0, 2), 1: (5.0, 2), 2: (10.0, 2)}
+    assert sum(n for _, n in got.values()) == 7  # every row lands somewhere
