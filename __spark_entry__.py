@@ -961,6 +961,14 @@ def _scrub_oracle_sql() -> str:
     return f"SELECT event_id, {expr} AS clean FROM events ORDER BY event_id"
 
 
+def _events_retention(spark, sf_dir):
+    """Weekly cohort retention (first-activity cohort × distinct return
+    periods) — ORACLED; both engines truncate to ISO weeks."""
+    from log_analysis_ai_spark.queries import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), max_offset=8)
+
+
 def _events_value_histogram(spark, sf_dir):
     """Fixed-width histogram with explicit under/overflow buckets —
     ORACLED via the same portable floor arithmetic."""
@@ -1228,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25": _docs_bm25,
         "events_value_histogram": _events_value_histogram,
         "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
     }
 
 
@@ -1667,6 +1676,20 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE_LINES_CTE}
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_retention": """
+            WITH first AS (
+              SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_start
+              FROM events GROUP BY 1
+            ), act AS (
+              SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS p FROM events
+            )
+            SELECT cohort_start,
+                   CAST((epoch(p) - epoch(cohort_start)) / 604800 AS BIGINT) AS period_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM act JOIN first USING (user_id)
+            WHERE (epoch(p) - epoch(cohort_start)) / 604800 <= 8
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_value_histogram": """
             SELECT bucket, round(0.0 + bucket * 50.0, 6) AS edge_lo, count(*) AS n

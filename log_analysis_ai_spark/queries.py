@@ -78,6 +78,41 @@ def summarize(df: DataFrame) -> DataFrame:
     )
 
 
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period, counted
+    by how many distinct periods later they return. Returns
+    (cohort_start, period_offset, n_users).
+
+    Scale shape: first-activity table is one groupBy(user) min; the fact
+    joins it on the user key (the only fact-scale shuffle — at 10^12 rows
+    broadcast the cohort table when users fit, else it's a co-partitioned
+    join), then (cohort, offset) distinct-user counts are
+    partial-aggregated. No window over the fact table."""
+    first = df.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort_start")
+    )
+    periods = {"week": 7 * 86400, "day": 86400}[period]
+    return (
+        df.select(user_col, F.date_trunc(period, F.col(ts_col)).alias("_p"))
+        .join(first, user_col)
+        .withColumn(
+            "period_offset",
+            ((F.unix_timestamp("_p") - F.unix_timestamp("cohort_start")) / periods)
+            .cast("long"),
+        )
+        .filter(F.col("period_offset") <= max_offset)
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+        .orderBy("cohort_start", "period_offset")
+    )
+
+
 def value_histogram(
     df: DataFrame, col: str, lo: float, hi: float, nbuckets: int = 10
 ) -> DataFrame:

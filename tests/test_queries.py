@@ -193,3 +193,35 @@ def test_value_histogram_edges(spark):
     got = {r.bucket: (r.edge_lo, r.n) for r in value_histogram(df, "v", 0.0, 10.0, 2).collect()}
     assert got == {-1: (-5.0, 1), 0: (0.0, 2), 1: (5.0, 2), 2: (10.0, 2)}
     assert sum(n for _, n in got.values()) == 7  # every row lands somewhere
+
+
+def test_retention_cohorts_hand_case(spark):
+    """Hand-built cohorts: week-0 row always counts every cohort member;
+    returns count distinct-per-period; beyond max_offset is dropped."""
+    from log_analysis_ai_spark.queries import retention_cohorts
+
+    day = 86400
+    rows = [
+        # u1: first week w0, returns w1 twice (counted once) and w2
+        (1, 0), (1, 7 * day), (1, 8 * day), (1, 14 * day),
+        # u2: first week w0 only
+        (2, 2 * day),
+        # u3: first week w1, returns w2
+        (3, 7 * day), (3, 15 * day),
+        # u4: first w0, returns WAY later (dropped by max_offset=2)
+        (4, 0), (4, 50 * 7 * day),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.timestamp_seconds(F.col("sec") + 4 * day).alias("ts")  # 1970-01-05 = Monday
+    )
+    got = {
+        (r.cohort_start.isoformat(), r.period_offset): r.n_users
+        for r in retention_cohorts(df, max_offset=2).collect()
+    }
+    assert got == {
+        ("1970-01-05T00:00:00", 0): 3,  # u1, u2, u4
+        ("1970-01-05T00:00:00", 1): 1,  # u1
+        ("1970-01-05T00:00:00", 2): 1,  # u1
+        ("1970-01-12T00:00:00", 0): 1,  # u3
+        ("1970-01-12T00:00:00", 1): 1,  # u3
+    }
