@@ -83,16 +83,43 @@ def stream_pipeline(
     checkpoint: str,
     cfg: PipelineConfig | None = None,
     trigger_available_now: bool = True,
+    dead_letter_path: str | None = None,
 ):
     """Micro-batch parse+assign → append sink. Returns the StreamingQuery.
 
     `catalogs` comes from a batch `mine_catalog` run (mine offline on a
-    sample/backfill, assign online — the standard production split)."""
+    sample/backfill, assign online — the standard production split).
+
+    `dead_letter_path`: when given, structurally invalid rows
+    (job.reject_reason — null conv_id/text/ts, oversize, parser `_valid`)
+    are routed there with a `reject_reason` column instead of entering
+    assignment — the streaming mirror of the batch job's stage-0 contract.
+    Both writes are idempotent per batch (dynamic overwrite on _batch_id),
+    so a retried batch replaces BOTH partitions consistently."""
+    from ..job import reject_reason
+
     cfg = cfg or PipelineConfig()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if dead_letter_path is not None:
+            flagged = batch_df.withColumn("_reject", reject_reason(batch_df))
+            dead = flagged.filter(F.col("_reject").isNotNull()).withColumnRenamed(
+                "_reject", "reject_reason"
+            )
+            if "_valid" in dead.columns:
+                dead = dead.drop("_valid")
+            (
+                dead.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(dead_letter_path)
+            )
+            batch_df = flagged.filter(F.col("_reject").isNull()).drop(
+                "_reject", *(["_valid"] if "_valid" in flagged.columns else [])
+            )
         keyed = with_shard_key(batch_df, cfg)
         assigned = assign_templates(keyed, catalogs, cfg).drop("salt", "shard_key")
         # exactly-once sink: foreachBatch is at-least-once (a batch that

@@ -368,3 +368,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out_dir).groupBy("conv_id", "turn_idx").count().collect()
     assert len(got) == 30
     assert all(r["count"] == 1 for r in got)
+
+
+def test_stream_pipeline_dead_letter_routing(spark, tmp_path):
+    """Streaming mirror of the batch stage-0 contract: planted malformed
+    rows (null text / null ts) land in the dead-letter sink with reasons;
+    valid rows are assigned; totals reconcile."""
+    from log_analysis_ai_spark.operators.drain import mine_catalog, with_shard_key
+    from log_analysis_ai_spark.streaming import stream_lines, stream_pipeline
+
+    pdf = gen_transcripts(20)
+    rows = []
+    for i, (_, r) in enumerate(pdf.iterrows()):
+        rows.append({
+            "conv_id": r.conv_id, "turn_idx": int(r.turn_idx), "role": r.role,
+            "text": None if i % 11 == 0 else r.text, "tool": r.tool,
+            "ts": None if i % 13 == 0 and i % 11 != 0 else r.ts.isoformat(),
+        })
+    n_bad = sum(1 for r in rows if r["text"] is None or r["ts"] is None)
+    in_dir = str(tmp_path / "dlsin"); os.makedirs(in_dir)
+    _write_jsonl(f"{in_dir}/f0.jsonl", rows)
+
+    clean = spark.createDataFrame(pdf)
+    cats = mine_catalog(with_shard_key(clean, CFG), CFG)
+    out_dir, dl_dir, ckpt = str(tmp_path / "dlsout"), str(tmp_path / "dlsdl"), str(tmp_path / "dlsck")
+    q = stream_pipeline(
+        stream_lines(spark, in_dir, SCHEMA), cats, out_dir, ckpt, CFG,
+        dead_letter_path=dl_dir,
+    )
+    q.awaitTermination(120)
+    dead = spark.read.parquet(dl_dir)
+    assert dead.count() == n_bad > 0
+    reasons = {r.reject_reason for r in dead.select("reject_reason").distinct().collect()}
+    assert reasons == {"null_text", "null_ts"}
+    assigned = spark.read.parquet(out_dir)
+    assert assigned.count() == len(rows) - n_bad
+    assert assigned.filter(F.col("template_id").isNull()).count() == 0
