@@ -961,6 +961,63 @@ def _scrub_oracle_sql() -> str:
     return f"SELECT event_id, {expr} AS clean FROM events ORDER BY event_id"
 
 
+def _jsonl_roundtrip(spark, sf_dir):
+    """JSONL parse (common-field sniff + stringified fields map) over
+    planted JSON lines — ORACLED by reconstructing every sniffed field
+    directly from the event columns."""
+    from log_analysis_ai_spark.sources import parse_jsonl
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            '{"msg": "event %s", "severity": "info", "time": "%s", "uid": "%d"}',
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            "user_id",
+        ).alias("value"),
+    )
+    p = parse_jsonl(lines)
+    return p.select(
+        "event_id", "message", "level", "ts",
+        F.element_at("fields", "uid").cast("long").alias("uid"),
+    ).orderBy("event_id")
+
+
+def _regex_parse_roundtrip(spark, sf_dir):
+    """Indexed-group regex parse (one-pass multi-group extraction) —
+    ORACLED field reconstruction, including the unmatched→NULL contract
+    on rows the pattern rejects."""
+    from log_analysis_ai_spark.sources import parse_format
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.when(
+            F.pmod("event_id", F.lit(50)) == 0, F.lit("malformed noise line")
+        ).otherwise(
+            F.format_string(
+                "job %d state %s on node%d",
+                "event_id", "event_type", F.pmod("user_id", F.lit(16)),
+            )
+        ).alias("value"),
+    )
+    p = parse_format(
+        lines, "regex",
+        pattern=r"^job (\d+) state (\w+) on (node\d+)$",
+        group_names=["job_id", "state", "node"],
+    )
+    # unmatched rows' NULL fields → sentinels (driver canonicalizer cannot
+    # sort None against ints/strings); _valid carries the contract
+    return p.select(
+        "event_id",
+        F.coalesce(F.col("job_id").cast("long"), F.lit(-1)).alias("job_id"),
+        F.coalesce("state", F.lit("")).alias("state"),
+        F.coalesce("node", F.lit("")).alias("node"),
+        "_valid",
+    ).orderBy("event_id")
+
+
 def _events_retention(spark, sf_dir):
     """Weekly cohort retention (first-activity cohort × distinct return
     periods) — ORACLED; both engines truncate to ISO weeks."""
@@ -1237,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_histogram": _events_value_histogram,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
+        "jsonl_roundtrip": _jsonl_roundtrip,
+        "regex_parse_roundtrip": _regex_parse_roundtrip,
     }
 
 
@@ -1676,6 +1735,23 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE_LINES_CTE}
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "jsonl_roundtrip": """
+            SELECT event_id,
+                   'event ' || event_type AS message,
+                   'info' AS level,
+                   date_trunc('second', ts) AS ts,
+                   user_id AS uid
+            FROM events ORDER BY event_id
+        """,
+        "regex_parse_roundtrip": """
+            SELECT event_id,
+                   CASE WHEN event_id % 50 = 0 THEN -1 ELSE event_id END AS job_id,
+                   CASE WHEN event_id % 50 = 0 THEN '' ELSE event_type END AS state,
+                   CASE WHEN event_id % 50 = 0 THEN ''
+                        ELSE 'node' || CAST(user_id % 16 AS VARCHAR) END AS node,
+                   (event_id % 50 <> 0) AS _valid
+            FROM events ORDER BY event_id
         """,
         "events_retention": """
             WITH first AS (
