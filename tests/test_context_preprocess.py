@@ -224,3 +224,40 @@ def test_asof_join_single_key_exchange(spark):
     plan = asof_join(L, R, "k", ts_col="ts")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(k#" in plan
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """Property check on random data: asof_join must agree with pandas'
+    battle-tested merge_asof (backward direction, by-key) wherever the
+    right side has unique (key, ts) — 200 left rows × 3 seeds."""
+    import numpy as np
+    import pandas as pd
+
+    from log_analysis_ai_spark.operators.context import asof_join
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        left = pd.DataFrame({
+            "k": rng.integers(0, 6, 200).astype("int64"),
+            "ts": rng.integers(0, 1000, 200).astype("int64"),
+        })
+        left["lid"] = np.arange(200, dtype="int64")
+        right = pd.DataFrame({
+            "k": rng.integers(0, 6, 80).astype("int64"),
+            "ts": rng.integers(0, 1000, 80).astype("int64"),
+        }).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+        right["rv"] = np.arange(len(right), dtype="int64") * 10
+
+        want = pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values("ts", kind="mergesort"),
+            on="ts", by="k", direction="backward",
+        )
+        want_map = {
+            int(r.lid): (None if pd.isna(r.rv) else int(r.rv)) for r in want.itertuples()
+        }
+        got = asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right), "k", ts_col="ts"
+        ).collect()
+        got_map = {int(r.lid): (None if r.asof_rv is None else int(r.asof_rv)) for r in got}
+        assert got_map == want_map
