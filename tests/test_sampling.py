@@ -92,3 +92,35 @@ def test_sample_fraction_monotone_nesting(spark):
     s60 = {r.doc_id for r in deterministic_sample(d, 0.6, "doc_id").collect()}
     assert s10 <= s30 <= s60
     assert len(s10) < len(s30) < len(s60)
+
+
+def test_hll_incremental_distinct_matches_full(spark, tmp_path):
+    """Incremental accounting contract: per-increment sketches persisted to
+    parquet, read back, UNIONED — the estimate must sit within HLL error
+    (~2% at default lgk) of the true distinct count AND of the one-shot
+    sketch over all data (union may land in a different sketch mode, so
+    bit-equality is NOT guaranteed); overlapping increments must not
+    double-count."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_ai_spark.operators.sketches import (
+        distinct_sketch,
+        estimate,
+        merge_sketches,
+    )
+
+    # three overlapping ingest increments over 3000 distinct ids
+    incs = [spark.range(0, 1500), spark.range(1000, 2400), spark.range(2000, 3000)]
+    p = str(tmp_path / "sketches")
+    for i, inc in enumerate(incs):
+        distinct_sketch(inc.withColumn("grp", F.pmod("id", F.lit(2))), "id", by=["grp"]) \
+            .withColumn("_inc", F.lit(i)).write.mode("append").parquet(p)
+    merged = estimate(merge_sketches(spark.read.parquet(p).drop("_inc"), by=["grp"]))
+    got = {r.grp: r.n_distinct_est for r in merged.collect()}
+
+    full = spark.range(0, 3000).withColumn("grp", F.pmod("id", F.lit(2)))
+    oneshot = {r.grp: r.n_distinct_est for r in estimate(distinct_sketch(full, "id", by=["grp"])).collect()}
+    for g in got:
+        assert abs(got[g] - 1500) / 1500 < 0.02      # vs truth
+        assert abs(oneshot[g] - 1500) / 1500 < 0.02  # one-shot vs truth
+        assert abs(got[g] - oneshot[g]) / 1500 < 0.03  # union vs one-shot
