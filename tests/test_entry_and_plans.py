@@ -255,3 +255,30 @@ def test_lsh_signature_computed_once(spark):
     sim_plan = _plan(simhash_near_dups(docs))
     assert "ExistingRDD" in sim_plan
     assert "ArrowEvalPython" not in sim_plan  # bit-fold UDF is upstream
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """Bucketing contract: same-bucketed tables join with ZERO exchanges
+    (the ingest-time shuffle amortizes across every later join); results
+    equal the plain join."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_ai_spark.bucketing import bucketed_join, write_bucketed
+
+    a = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    b = spark.range(900).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    write_bucketed(a, "bk_a", "k", n_buckets=8)
+    write_bucketed(b, "bk_b", "k", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "bk_a", "bk_b", "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0
+        assert j.count() == 900
+        want = {(r.k, r.v, r.w) for r in a.join(b, "k").collect()}
+        assert {(r.k, r.v, r.w) for r in j.collect()} == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
