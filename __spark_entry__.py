@@ -1189,6 +1189,8 @@ def _pipeline_sink_counts(spark, sf_dir):
         PipelineConfig(),
         persist_keyed=False,  # one-shot query in a long-lived session: no cache leak
     )
+    for c in out["_route_caches"]:  # same no-leak contract for route()'s count cache
+        c.unpersist()
     return out["sink_counts"].orderBy("template_class", "anomaly_flag")
 
 
@@ -1204,6 +1206,8 @@ def _pipeline_agg_template_tool(spark, sf_dir):
         PipelineConfig(),
         persist_keyed=False,  # one-shot query in a long-lived session: no cache leak
     )
+    for c in out["_route_caches"]:  # same no-leak contract for route()'s count cache
+        c.unpersist()
     return (
         out["agg_template_tool"]
         .join(F.broadcast(out["templates"].select("template_id", "template_str")), "template_id")
