@@ -1018,6 +1018,17 @@ def _regex_parse_roundtrip(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def _events_trending_decayed(spark, sf_dir):
+    """Exponentially time-decayed trending score per event kind (half-life
+    24h, anchored at the dataset's max window — no wall clock) — ORACLED:
+    pow/epoch arithmetic is identical in both engines."""
+    from log_analysis_ai_spark.queries import trending_decayed
+
+    ev = _t(spark, sf_dir, "events")
+    t = trending_decayed(ev, key_col="event_type", half_life_hours=24.0)
+    return t.select("key", F.round("score", 4).alias("score"))
+
+
 def _events_retention(spark, sf_dir):
     """Weekly cohort retention (first-activity cohort × distinct return
     periods) — ORACLED; both engines truncate to ISO weeks."""
@@ -1300,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _events_retention,
         "jsonl_roundtrip": _jsonl_roundtrip,
         "regex_parse_roundtrip": _regex_parse_roundtrip,
+        "events_trending_decayed": _events_trending_decayed,
     }
 
 
@@ -1739,6 +1751,16 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PIPE_LINES_CTE}
             SELECT window_start, template_str, tool, count(*) AS n_turns
             FROM lines GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_trending_decayed": """
+            WITH wc AS (
+              SELECT date_trunc('hour', ts) AS w, event_type AS key, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), mx AS (SELECT max(w) AS m FROM wc)
+            SELECT key,
+                   round(sum(n * pow(0.5, (epoch(m) - epoch(w)) / 3600.0 / 24.0)), 4)
+                     AS score
+            FROM wc CROSS JOIN mx GROUP BY 1 ORDER BY score DESC, key
         """,
         "jsonl_roundtrip": """
             SELECT event_id,

@@ -327,6 +327,36 @@ def trending_windowed(
     )
 
 
+def trending_decayed(
+    df: DataFrame,
+    key_col: str = "template_id",
+    ts_col: str = "ts",
+    half_life_hours: float = 24.0,
+    window: str = "hour",
+) -> DataFrame:
+    """Exponentially time-decayed activity score per key:
+    score = Σ_windows n_w · 0.5^(age_hours / half_life) — recent activity
+    dominates, old spikes fade, which is what 'trending now' actually
+    means (the lag-growth variant compares only adjacent windows). Age is
+    measured from the dataset's max window so the score is deterministic
+    (no wall clock — same lesson as syslog assume_year). The decay math
+    runs over the AGGREGATED (windows × keys) table — catalog-scale, one
+    fact shuffle for the count."""
+    wc = df.groupBy(
+        F.date_trunc(window, F.col(ts_col)).alias("window_start"),
+        F.col(key_col).alias("key"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mx = wc.agg(F.max("window_start").alias("_mx"))
+    age_h = (F.unix_timestamp("_mx") - F.unix_timestamp("window_start")) / 3600.0
+    return (
+        wc.crossJoin(F.broadcast(mx))
+        .withColumn("_w", F.pow(F.lit(0.5), age_h / F.lit(half_life_hours)))
+        .groupBy("key")
+        .agg(F.sum(F.col("n") * F.col("_w")).alias("score"))
+        .orderBy(F.desc("score"), "key")
+    )
+
+
 def pivot_counts(df: DataFrame, y: str, x: str, x_values: list[str] | None = None) -> DataFrame:
     """Heatmap pivot (reference: python/data_analysis_agent.py:176,275-281).
     Pass x_values at scale — without them Spark must scan once to discover

@@ -225,3 +225,21 @@ def test_retention_cohorts_hand_case(spark):
         ("1970-01-12T00:00:00", 0): 1,  # u3
         ("1970-01-12T00:00:00", 1): 1,  # u3
     }
+
+
+def test_trending_decayed_hand_case(spark):
+    """Half-life math pinned by hand: a key with old volume loses to a key
+    with recent volume; weights are exactly 0.5^(age/half_life)."""
+    from datetime import datetime
+
+    from log_analysis_ai_spark.queries import trending_decayed
+
+    rows = (
+        [("old", datetime(2025, 1, 1, 0, m)) for m in range(10)]      # 10 @ age 48h
+        + [("new", datetime(2025, 1, 3, 0, m)) for m in range(4)]     # 4 @ age 0
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r.key: r.score for r in trending_decayed(df, key_col="k", half_life_hours=24.0).collect()}
+    assert abs(got["new"] - 4.0) < 1e-9          # age 0 -> weight 1
+    assert abs(got["old"] - 10 * 0.25) < 1e-9    # 48h = 2 half-lives -> 0.25
+    assert got["new"] > got["old"]
