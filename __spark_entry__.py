@@ -1896,11 +1896,14 @@ def oracle_sql() -> dict[str, str]:
         # chained innermost-first exactly like the Spark expression
         "events_scrub_pii": _scrub_oracle_sql(),
         # sampling oracles: selection reproduced by the engine-portable
-        # Knuth hash ((key+salt)*2654435761 mod 2^32) — pure row functions,
-        # so even SAMPLING is hash-oracled
+        # Knuth hash ((key mod 2^31 + salt) mod 2^31 * 2654435761 mod 2^32)
+        # — pure row functions, so even SAMPLING is hash-oracled. The mod-2^31
+        # folds keep every intermediate < 2^63 for any bigint key, so the
+        # formula evaluates identically in every engine (sampling.knuth_hash).
         "docs_sample_deterministic": f"""
             SELECT doc_id, n_chars FROM documents
-            WHERE ((doc_id + 7) * 2654435761) % 4294967296 < {int(0.2 * (1 << 32))}
+            WHERE ((doc_id % 2147483648 + 7) % 2147483648) * 2654435761
+                  % 4294967296 < {int(0.2 * (1 << 32))}
             ORDER BY doc_id
         """,
         "events_stratified_cap": """
@@ -1908,7 +1911,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, event_type,
                      ROW_NUMBER() OVER (
                        PARTITION BY event_type
-                       ORDER BY (event_id * 2654435761) % 4294967296, event_id
+                       ORDER BY (event_id % 2147483648) * 2654435761 % 4294967296,
+                                event_id
                      ) AS rk
               FROM events
             ) WHERE rk <= 50 ORDER BY event_type, event_id

@@ -31,19 +31,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # Knuth's multiplicative constant (2654435761 = 2^32 / golden ratio):
-# well-mixed low bits for sequential keys, and small enough that
-# key * C stays under 2^63 for any key < 2^31 — evaluable in ANY engine
-# with 64-bit integer arithmetic (the property the DuckDB oracles use).
+# well-mixed low bits for sequential keys. The key is pre-reduced mod 2^31
+# BEFORE the multiply so the product stays < 2^62.4 — no 64-bit overflow
+# for ANY bigint key, which is what makes the hash evaluable identically
+# in ANY engine with 64-bit integer arithmetic (the property the DuckDB
+# oracles rely on; engines disagree on silent-wrap semantics, so the
+# un-reduced product would break portability for keys ≥ 2^31).
 KNUTH_C = 2654435761
 KNUTH_M = 1 << 32
+_KNUTH_R = 1 << 31  # pre-reduction modulus; identity for keys+salt < 2^31
 
 
 def knuth_hash(col, salt: int = 0) -> Column:
-    """pmod((key + salt) * 2654435761, 2^32) — an engine-portable integer
-    hash for integer keys. Weaker mixing than xxhash64 (use that at scale);
-    exists so sampling decisions can be reproduced in plain SQL."""
+    """pmod(pmod(key + salt, 2^31) * 2654435761, 2^32) — an engine-portable
+    integer hash for integer keys. Weaker mixing than xxhash64 (use that at
+    scale); exists so sampling decisions can be reproduced in plain SQL.
+    The key is reduced mod 2^31 BEFORE the salt is added (so key+salt can
+    never overflow either, even at key = 2^63-1) and once more after, keeping
+    every intermediate < 2^63. Identity for 0 ≤ key+salt < 2^31, so small-key
+    hashes are unchanged; sequential keys ≥ 2^31 still sample uniformly —
+    the reduction only folds the key space, it does not bias the mix."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod((c + F.lit(salt)) * F.lit(KNUTH_C), F.lit(KNUTH_M))
+    if not 0 <= salt < _KNUTH_R:
+        raise ValueError(f"salt must be in [0, 2^31), got {salt}")
+    folded = F.pmod(F.pmod(c, F.lit(_KNUTH_R)) + F.lit(salt), F.lit(_KNUTH_R))
+    return F.pmod(folded * F.lit(KNUTH_C), F.lit(KNUTH_M))
 
 
 def xxhash(cols, salt: int = 0) -> Column:

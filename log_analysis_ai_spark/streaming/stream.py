@@ -290,6 +290,75 @@ def compact_salted_catalogs(
     return out
 
 
+def _latest_generation(base: str) -> int | None:
+    """Highest N for which `base/gen=N` exists, or None if no generation has
+    been started yet. Generations are plain subdirectories in Hive partition
+    syntax so the union of all sink generations reads back as ONE partitioned
+    parquet table with a `gen` column."""
+    import os
+    import re
+
+    if not os.path.isdir(base):
+        return None
+    gens = [int(m.group(1)) for d in os.listdir(base) if (m := re.fullmatch(r"gen=(\d+)", d))]
+    return max(gens) if gens else None
+
+
+def compact_and_restart(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    base_checkpoint: str,
+    base_out: str,
+    cfg: PipelineConfig | None = None,
+    salt_state: bool = True,
+    trigger_available_now: bool = True,
+):
+    """The ONE-CALL operational loop for long-running salted online-mining
+    streams (VERDICT r5 next-round #5). Salted streams accumulate divergent
+    per-salt sub-catalogs by state-store design (state cannot be merged
+    across groups mid-stream — see compact_salted_catalogs); the documented
+    remedy is the stop → read state → compact → reseed-on-fresh-paths loop.
+    This helper runs that whole loop:
+
+    1. find the newest generation under `base_checkpoint` (`gen=N` subdirs);
+    2. if one exists, read its per-(shard, salt) catalogs via the state-store
+       data source and compact them cross-salt with the Drain merge rule;
+    3. start generation N+1 on FRESH `gen=N+1` checkpoint and sink
+       subdirectories, seeded with the compacted catalogs.
+
+    First call (no generations yet) starts gen 0 unseeded, so the same call
+    is the initial start AND every restart. Returns
+    (StreamingQuery, generation_number, seed_catalogs_used).
+
+    The caller must have STOPPED the previous generation's query (a running
+    state store holds its checkpoint) and builds `stream_df` over the input
+    for the new generation — a fresh checkpoint resets file-source offsets,
+    so pointing the restarted stream at the ORIGINAL input directory would
+    re-process (and re-mine) everything; point it at the new data only.
+    Sinks union trivially: `spark.read.parquet(base_out)` reads every
+    generation as one table with a `gen` partition column."""
+    import os
+
+    cfg = cfg or PipelineConfig()
+    last = _latest_generation(base_checkpoint)
+    if last is None:
+        gen, seeds = 0, None
+    else:
+        state = read_online_state(spark, os.path.join(base_checkpoint, f"gen={last}"))
+        seeds = compact_salted_catalogs(state, cfg)
+        gen = last + 1
+    q = stream_pipeline_online(
+        stream_df,
+        os.path.join(base_out, f"gen={gen}"),
+        os.path.join(base_checkpoint, f"gen={gen}"),
+        cfg,
+        seed_catalogs=seeds,
+        trigger_available_now=trigger_available_now,
+        salt_state=salt_state,
+    )
+    return q, gen, seeds
+
+
 def stream_pipeline_online(
     stream_df: DataFrame,
     out_path: str,

@@ -82,6 +82,31 @@ def test_knuth_hash_matches_reference_formula(spark):
     assert got == {i: ((i + 7) * 2654435761) % KNUTH_M for i in range(50)}
 
 
+def test_knuth_hash_no_overflow_for_large_keys(spark):
+    """Keys ≥ 2^31 must NOT silently wrap in 64-bit arithmetic: the inner
+    pre-reduction mod 2^31 keeps the product < 2^63 so the formula evaluates
+    identically in any engine. Pin the boundary and some huge keys against
+    the exact-arithmetic Python evaluation of the SAME formula, and check
+    the small-key identity (pre-reduction is a no-op below 2^31)."""
+    keys = [0, 1, (1 << 31) - 1, 1 << 31, (1 << 31) + 1, (1 << 40) + 123,
+            (1 << 62) + 7, (1 << 63) - 1]
+    d = spark.createDataFrame([(k,) for k in keys], "doc_id: long")
+    got = {r.doc_id: r.h for r in d.select("doc_id", knuth_hash("doc_id", salt=7).alias("h")).collect()}
+    expect = {k: ((k % (1 << 31) + 7) % (1 << 31) * 2654435761) % KNUTH_M for k in keys}
+    assert got == expect
+    # small keys: identical to the un-reduced formula (back-compat with the
+    # oracle SQL's documented behavior for 32-bit key spaces)
+    for k in keys:
+        if k + 7 < (1 << 31):
+            assert expect[k] == ((k + 7) * 2654435761) % KNUTH_M
+    # every intermediate fits 63 bits (the portability invariant)
+    assert all((k % (1 << 31) + 7) % (1 << 31) * 2654435761 < (1 << 63) for k in keys)
+    import pytest
+
+    with pytest.raises(ValueError):
+        knuth_hash("doc_id", salt=1 << 31)
+
+
 def test_sample_fraction_monotone_nesting(spark):
     """With one salt, samples NEST: sample(f1) ⊆ sample(f2) for f1 < f2 —
     the property that lets a pipeline grow a corpus subset without

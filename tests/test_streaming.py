@@ -404,3 +404,65 @@ def test_stream_pipeline_dead_letter_routing(spark, tmp_path):
     assigned = spark.read.parquet(out_dir)
     assert assigned.count() == len(rows) - n_bad
     assert assigned.filter(F.col("template_id").isNull()).count() == 0
+
+
+def test_compact_and_restart_generation_loop(spark, tmp_path):
+    """The one-call operational loop across TWO restarts: gen 0 starts
+    unseeded and diverges per salt, gen 1 must start seeded with the
+    cross-salt-compacted catalog (new data assigns the merged template in
+    every salt from first arrival), gen 2 carries the catalog forward again;
+    all generations read back as ONE partitioned table with a `gen` column."""
+    from log_analysis_ai_spark.hashing import xxh64
+    from log_analysis_ai_spark.streaming import compact_and_restart
+
+    base_ts = gen_transcripts(2).ts.iloc[0].isoformat()
+    base_out, base_ck = str(tmp_path / "gout"), str(tmp_path / "gck")
+
+    # gen 0 input: variant follows the salt's parity so per-salt catalogs
+    # provably diverge (same construction as the compaction unit test)
+    rows0 = []
+    for i in range(120):
+        cid = f"cv-{i:04d}"
+        variant = "alpha" if (xxh64(cid) % CFG.salt_buckets) % 2 == 0 else "beta"
+        rows0.append({"conv_id": cid, "turn_idx": 0, "role": "user",
+                      "text": f"task run step go {variant}", "tool": "none", "ts": base_ts})
+    in0 = str(tmp_path / "gin0"); os.makedirs(in0)
+    _write_jsonl(f"{in0}/f0.jsonl", rows0)
+    q0, gen0, seeds0 = compact_and_restart(
+        spark, stream_lines(spark, in0, SCHEMA), base_ck, base_out, CFG)
+    q0.awaitTermination(120)
+    assert gen0 == 0 and seeds0 is None
+
+    # restart 1: fresh input, seeds must be the compacted merged template
+    rows1 = [{"conv_id": f"nw-{i:04d}", "turn_idx": 0, "role": "user",
+              "text": f"task run step go gamma{i}", "tool": "none", "ts": base_ts}
+             for i in range(60)]
+    in1 = str(tmp_path / "gin1"); os.makedirs(in1)
+    _write_jsonl(f"{in1}/f0.jsonl", rows1)
+    q1, gen1, seeds1 = compact_and_restart(
+        spark, stream_lines(spark, in1, SCHEMA), base_ck, base_out, CFG)
+    q1.awaitTermination(120)
+    assert gen1 == 1
+    assert {" ".join(t) for cats in seeds1.values() for t in cats} == {"task run step go <*>"}
+    g1 = spark.read.parquet(f"{base_out}/gen=1")
+    assert g1.count() == 60
+    assert {r.template_str for r in g1.select("template_str").distinct().collect()} == {
+        "task run step go <*>"}
+    assert len({r.salt for r in g1.select("salt").distinct().collect()}) > 1
+
+    # restart 2: catalog carries forward through another compaction
+    rows2 = [{"conv_id": f"zz-{i:04d}", "turn_idx": 0, "role": "user",
+              "text": f"task run step go delta{i}", "tool": "none", "ts": base_ts}
+             for i in range(40)]
+    in2 = str(tmp_path / "gin2"); os.makedirs(in2)
+    _write_jsonl(f"{in2}/f0.jsonl", rows2)
+    q2, gen2, seeds2 = compact_and_restart(
+        spark, stream_lines(spark, in2, SCHEMA), base_ck, base_out, CFG)
+    q2.awaitTermination(120)
+    assert gen2 == 2
+    assert {" ".join(t) for cats in seeds2.values() for t in cats} == {"task run step go <*>"}
+
+    # union read: one table, `gen` partition column, all rows present
+    allg = spark.read.parquet(base_out)
+    assert {r.gen for r in allg.select("gen").distinct().collect()} == {0, 1, 2}
+    assert allg.count() == 120 + 60 + 40
