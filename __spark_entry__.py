@@ -830,6 +830,24 @@ def _emb_ann_topk(spark, sf_dir):
     return ann_topk_multi(emb, q, k=10)
 
 
+def _emb_ann_topk_indexed(spark, sf_dir):
+    """Multi-table hyperplane ANN over a PERSISTED signature index
+    (build_lsh_index: ONE ingest-time Arrow matmul computes all L
+    signatures; table 0's signature is the partition column so probe 0
+    prunes at the file listing — plan-pinned in tests — and tables 1..L-1
+    are min/max-prunable data columns). Candidate semantics are identical
+    to emb_ann_topk's query-time path (pytest pins result equality), so the
+    same measured recall applies: 0.98@10 at ~6% scan on the clustered
+    corpus. Rows-only by design, like every LSH-at-threshold<1 operator."""
+    from log_analysis_ai_spark.operators.similarity import ann_topk_indexed, build_lsh_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = _scratch("lsh_idx", sf_dir)
+    build_lsh_index(emb, path)
+    return ann_topk_indexed(spark, path, q, k=10)
+
+
 _PIPE_TOOLS = ("search", "browser", "python", "bash", "editor", "none")
 _PIPE_ROLES = ("user", "assistant", "tool", "system")
 
@@ -1292,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
         "emb_ann_topk": _emb_ann_topk,
+        "emb_ann_topk_indexed": _emb_ann_topk_indexed,
         "media_features": _media_features,
         # full-pipeline queries — ORACLED as of r5 via the number-masking
         # events fixture (see _pipeline_oracle_transcripts)

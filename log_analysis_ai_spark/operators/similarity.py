@@ -197,6 +197,20 @@ def multi_lsh_sigs_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
     return sigs
 
 
+def _probe_sets(
+    query: list[float], n_planes: int, n_tables: int, seed: int, multiprobe: int
+) -> list[list[int]]:
+    """Per-table probe signatures for a query: its own signature plus
+    `multiprobe` Hamming-distance-1 neighbors, per LSH table."""
+    qv = np.asarray(query, dtype="float32")
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    out: list[list[int]] = []
+    for planes in _table_planes(len(query), n_planes, n_tables, seed):
+        qsig = int(((qv @ planes.T) > 0) @ weights)
+        out.append([qsig] + [qsig ^ (1 << i) for i in range(min(multiprobe, n_planes))])
+    return out
+
+
 def ann_topk_multi(
     df: DataFrame,
     query: list[float],
@@ -235,13 +249,7 @@ def ann_topk_multi(
     filter — at 10^12 rows store table-0's signature as a partition column
     and the other L-1 as data columns so probe 0 prunes files and the rest
     prune row groups via min/max stats."""
-    qv = np.asarray(query, dtype="float32")
-    tables = _table_planes(len(query), n_planes, n_tables, seed)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
-    probe_sets: list[list[int]] = []
-    for planes in tables:
-        qsig = int(((qv @ planes.T) > 0) @ weights)
-        probe_sets.append([qsig] + [qsig ^ (1 << i) for i in range(min(multiprobe, n_planes))])
+    probe_sets = _probe_sets(query, n_planes, n_tables, seed, multiprobe)
     sigs = multi_lsh_sigs_udf(len(query), n_planes, n_tables, seed)
     sigged = df.withColumn("_sigs", sigs(F.col(vec_col)))
     cond = None
@@ -354,6 +362,87 @@ def ivf_topk_indexed(
     probes = [int(i) for i in np.argsort(d)[: min(nprobe, len(centroids))]]
     idx = spark.read.parquet(index_path)
     cand = idx.filter(F.col("_list").isin(probes))
+    return cosine_topk_numpy(cand, query, k, vec_col, id_col)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+    n_tables: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """Materialize the multi-table LSH signature index — the ingest-time
+    half of `ann_topk_multi` (its docstring's 10^12-row layout, made real):
+    ONE Arrow matmul computes all L signatures per vector; table 0's
+    signature becomes the PARTITION column `_sig0` (probe 0 prunes at the
+    file-listing level), tables 1..L-1 become data columns `_sig1`..,
+    with rows SORTED by `_sig1` within each written file so at least the
+    first residual table also prunes via parquet row-group min/max stats.
+    Signatures are computed once at ingest instead of once per query —
+    at Q queries/day over a static corpus that is the whole UDF cost
+    amortized away.
+
+    `repartition(_sig0)` before the partitioned write keeps it one file per
+    partition value instead of (tasks × values) small files; a hot signature
+    value maps to one write task, which is acceptable for an ingest-time
+    build (re-salt the write, not the layout, if a corpus ever needs it)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sigs = multi_lsh_sigs_udf(dim, n_planes, n_tables, seed)
+    sig_cols = [F.element_at("_sigs", t + 1).alias(f"_sig{t}") for t in range(n_tables)]
+    (
+        df.select(id_col, vec_col)
+        .withColumn("_sigs", sigs(F.col(vec_col)))
+        .select(id_col, vec_col, *sig_cols)
+        .repartition("_sig0")
+        .sortWithinPartitions("_sig1")
+        .write.mode("overwrite")
+        .partitionBy("_sig0")
+        .parquet(path)
+    )
+
+
+def ann_topk_indexed(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 10,
+    n_tables: int = 10,
+    seed: int = 42,
+    multiprobe: int = 4,
+) -> DataFrame:
+    """Multi-table LSH probe over a persisted index (build_lsh_index).
+    Candidate semantics are IDENTICAL to `ann_topk_multi` (collide with the
+    query in ANY table ⇒ candidate; same planes, same multiprobe), but no
+    signature is computed at query time. Two disjoint scan branches:
+
+    - probe-0 branch: `_sig0 IN probes₀` on the PARTITION column — pruned
+      at the file listing (plan-asserted via PartitionFilters in tests),
+      touching ~|probes₀|/2^n_planes of the files;
+    - residual branch: rows NOT in probe-0 partitions whose `_sig1`..`_sigL`
+      hit their table's probes — pushed-down data filters; `_sig1` also
+      prunes row groups via min/max because the build sorted by it.
+
+    The branches are disjoint by construction (the residual excludes probe-0
+    partitions), so no dedup shuffle is needed before the exact rerank."""
+    probe_sets = _probe_sets(query, n_planes, n_tables, seed, multiprobe)
+    idx = spark.read.parquet(index_path)
+    pruned = idx.filter(F.col("_sig0").isin(probe_sets[0]))
+    residual_cond = None
+    for t in range(1, n_tables):
+        c = F.col(f"_sig{t}").isin(probe_sets[t])
+        residual_cond = c if residual_cond is None else (residual_cond | c)
+    cand = pruned.select(id_col, vec_col)
+    if residual_cond is not None:
+        residual = idx.filter(~F.col("_sig0").isin(probe_sets[0])).filter(residual_cond)
+        cand = cand.unionByName(residual.select(id_col, vec_col))
     return cosine_topk_numpy(cand, query, k, vec_col, id_col)
 
 

@@ -221,6 +221,36 @@ def test_ivf_indexed_prunes_partitions_and_is_exact(spark, emb, tmp_path):
     assert probed.collect()[0].vec_id == 5  # self lands in the probed list
 
 
+def test_lsh_indexed_equals_multi_and_prunes_partitions(spark, emb, tmp_path):
+    """The persisted LSH signature index must (a) return EXACTLY what the
+    query-time ann_topk_multi returns (same planes/probes ⇒ same candidate
+    set ⇒ same reranked top-k), (b) prune probe 0 at the FILE LISTING level
+    (PartitionFilters on _sig0), and (c) compute no signatures at query time
+    (the one matmul UDF ran at ingest; the probe plan has no Python eval
+    over the index scan)."""
+    from log_analysis_ai_spark.operators.similarity import (
+        ann_topk_indexed,
+        ann_topk_multi,
+        build_lsh_index,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 5).select("embedding").first()[0]]
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(emb, path, n_planes=6, n_tables=4)
+
+    got = ann_topk_indexed(spark, path, q, k=5, n_planes=6, n_tables=4)
+    want = ann_topk_multi(emb, q, k=5, n_planes=6, n_tables=4)
+    assert [(r.vec_id, round(r.cosine, 6)) for r in got.collect()] == [
+        (r.vec_id, round(r.cosine, 6)) for r in want.collect()
+    ]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_sig0" in plan.split("PartitionFilters", 1)[1][:300]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # residual tables' probes are pushed to the parquet scan
+    assert "PushedFilters" in plan and "_sig1" in plan
+
+
 def test_near_dup_embeddings_finds_planted(spark, emb):
     v = emb.limit(2).toPandas()
     base = np.asarray(v.embedding[0], dtype="float64")
