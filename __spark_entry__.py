@@ -1036,6 +1036,75 @@ def _regex_parse_roundtrip(spark, sf_dir):
     ).orderBy("event_id")
 
 
+_GROK_RT_PATTERN = (
+    r"^%{IPV4:src} %{WORD:verb} %{URIPATH:path} rc=%{INT:rc:int} took %{NUMBER:ms:float} ms$"
+)
+
+
+def _grok_parse_roundtrip(spark, sf_dir):
+    """Grok-syntax parse (%{IPV4:src} … pattern-library macro language over
+    regex — the front-end the north star's 'grok/regex parser' names;
+    functions/grok.py compiles it to ONE flat Java∩RE2 regex) — ORACLED:
+    the oracle runs the SAME compiled regex through DuckDB regexp_extract,
+    so expansion + one-pass extraction + typed casts + the unmatched→NULL
+    `_valid` contract are all hash-checked."""
+    from log_analysis_ai_spark.functions.grok import grok_parse
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.when(F.pmod("event_id", F.lit(50)) == 0, F.lit("## malformed ##")).otherwise(
+            F.format_string(
+                "10.0.%d.%d GET /api/%s/item%d rc=%d took %d.%02d ms",
+                F.pmod("user_id", F.lit(256)), F.pmod("event_id", F.lit(256)),
+                "event_type", "event_id",
+                F.lit(200) + F.pmod("event_id", F.lit(4)),
+                F.pmod("event_id", F.lit(997)), F.pmod("event_id", F.lit(100)),
+            )
+        ).alias("text"),
+    )
+    p = grok_parse(lines, _GROK_RT_PATTERN)
+    return p.select(
+        "event_id",
+        F.coalesce("src", F.lit("")).alias("src"),
+        F.coalesce("verb", F.lit("")).alias("verb"),
+        F.coalesce("path", F.lit("")).alias("path"),
+        F.coalesce(F.col("rc"), F.lit(-1)).alias("rc"),
+        F.coalesce(F.col("ms"), F.lit(-1.0)).alias("ms"),
+        "_valid",
+    ).orderBy("event_id")
+
+
+def _grok_oracle_sql() -> str:
+    """Oracle for _grok_parse_roundtrip: the same compiled regex, evaluated
+    by DuckDB's RE2 (the library is written in the Java∩RE2 dialect)."""
+    from log_analysis_ai_spark.functions.grok import grok_compile
+
+    flat, fields = grok_compile(_GROK_RT_PATTERN)
+    flat = flat.replace("'", "''")  # URIPATH's class contains a literal quote
+    ex = {f: f"regexp_extract(text, '{flat}', {i})" for i, (f, _) in enumerate(fields, 1)}
+    return f"""
+        WITH lines AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 50 = 0 THEN '## malformed ##'
+                      ELSE printf('10.0.%d.%d GET /api/%s/item%d rc=%d took %d.%02d ms',
+                                  user_id % 256, event_id % 256, event_type, event_id,
+                                  200 + event_id % 4, event_id % 997, event_id % 100)
+                 END AS text
+          FROM events
+        )
+        SELECT event_id,
+               CASE WHEN m THEN {ex['src']} ELSE '' END AS src,
+               CASE WHEN m THEN {ex['verb']} ELSE '' END AS verb,
+               CASE WHEN m THEN {ex['path']} ELSE '' END AS path,
+               CASE WHEN m THEN CAST({ex['rc']} AS BIGINT) ELSE -1 END AS rc,
+               CASE WHEN m THEN CAST({ex['ms']} AS DOUBLE) ELSE -1.0 END AS ms,
+               m AS _valid
+        FROM (SELECT event_id, text, regexp_matches(text, '{flat}') AS m FROM lines)
+        ORDER BY event_id
+    """
+
+
 def _events_trending_decayed(spark, sf_dir):
     """Exponentially time-decayed trending score per event kind (half-life
     24h, anchored at the dataset's max window — no wall clock) — ORACLED:
@@ -1330,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _events_retention,
         "jsonl_roundtrip": _jsonl_roundtrip,
         "regex_parse_roundtrip": _regex_parse_roundtrip,
+        "grok_parse_roundtrip": _grok_parse_roundtrip,
         "events_trending_decayed": _events_trending_decayed,
     }
 
@@ -1789,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
                    user_id AS uid
             FROM events ORDER BY event_id
         """,
+        "grok_parse_roundtrip": _grok_oracle_sql(),
         "regex_parse_roundtrip": """
             SELECT event_id,
                    CASE WHEN event_id % 50 = 0 THEN -1 ELSE event_id END AS job_id,

@@ -202,3 +202,94 @@ def test_csv_dimensions_positional_mapping(spark, tmp_path):
     assert rows[0].severity == "ERROR" and rows[0].body == "disk full"
     assert rows[0].node == "node7"
     assert rows[0].timestamp.isoformat().startswith("2025-03-01T10:00:00")
+
+
+def test_grok_compile_expansion():
+    """Pure compiler contract: named instances become ordered capture
+    groups, bare splices are non-capturing, library/custom bodies are
+    de-captured so they can never shift group indexes, and the error
+    paths (unknown name, cyclic definition, duplicate field) raise."""
+    import re
+
+    import pytest
+
+    from log_analysis_ai_spark.functions.grok import grok_compile
+
+    flat, fields = grok_compile("%{INT:a:int} %{WORD} %{NUMBER:b:float}")
+    assert fields == [("a", "long"), ("b", "double")]
+    m = re.fullmatch(flat, "42 hello 3.14")
+    assert m and m.groups() == ("42", "3.14")  # bare %{WORD} captured nothing
+
+    # a custom pattern with plain capture groups cannot break indexing
+    flat2, f2 = grok_compile("%{KV:pair} %{INT:n:int}", custom={"KV": r"(\w+)=(\w+)"})
+    assert [f for f, _ in f2] == ["pair", "n"]
+    assert re.fullmatch(flat2, "a=b 7").groups() == ("a=b", "7")
+
+    with pytest.raises(KeyError):
+        grok_compile("%{NOPE:x}")
+    with pytest.raises(ValueError, match="recursion"):
+        grok_compile("%{A:x}", custom={"A": "%{B}", "B": "%{A}"})
+    with pytest.raises(ValueError, match="duplicate"):
+        grok_compile("%{INT:x} %{INT:x}")
+
+
+def test_grok_library_patterns_match_and_compile_in_both_dialects():
+    """Every library pattern must compile in Python re AND DuckDB RE2 (the
+    oracle dialect; Spark's Java dialect is exercised by the parse tests),
+    and the composite COMMONAPACHELOG must dissect a real access-log line."""
+    import re
+
+    import duckdb
+
+    from log_analysis_ai_spark.functions.grok import _BASE, grok_compile
+
+    con = duckdb.connect()
+    for name in _BASE:
+        flat, _ = grok_compile("%{" + name + ":x}")
+        re.compile(flat)
+        con.execute("SELECT regexp_matches('probe', ?)", [flat])
+
+    flat, fields = grok_compile("%{COMMONAPACHELOG}")
+    line = '203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] "GET /a_b.gif HTTP/1.0" 200 2326'
+    got = dict(zip([f for f, _ in fields], re.search(flat, line).groups()))
+    assert got["clientip"] == "203.0.113.9" and got["auth"] == "frank"
+    assert got["verb"] == "GET" and got["request"] == "/a_b.gif"
+    assert got["response"] == "200" and got["bytes"] == "2326"
+
+
+def test_grok_parse_typed_fields_and_valid_contract(spark):
+    """grok_parse end-to-end on Spark: typed casts applied, unmatched rows
+    get _valid=false and NULL fields, and the Spark (Java-regex) extraction
+    equals the Python-re reference groups on every matching line."""
+    import re
+
+    from log_analysis_ai_spark.functions.grok import grok_compile, grok_parse
+
+    pat = r"^%{IPV4:src} %{WORD:verb} %{URIPATH:path} rc=%{INT:rc:int} took %{NUMBER:ms:float} ms$"
+    lines = [
+        "10.0.0.1 GET /api/users rc=200 took 12.05 ms",
+        "192.168.7.254 POST /v2/jobs/run rc=503 took 0.9 ms",
+        "completely unparseable",
+        "999.999.1.1 GET /x rc=1 took 1.0 ms",  # bad IPv4 octets
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(lines)], "id long, text string")
+    out = grok_parse(df, pat).orderBy("id").collect()
+
+    assert [r._valid for r in out] == [True, True, False, False]
+    d0 = out[0].asDict()
+    assert (d0["src"], d0["verb"], d0["path"]) == ("10.0.0.1", "GET", "/api/users")
+    assert out[0].rc == 200 and abs(out[0].ms - 12.05) < 1e-12
+    assert isinstance(out[1].rc, int) and isinstance(out[1].ms, float)
+    assert out[2].src is None and out[2].rc is None and out[2].ms is None
+
+    flat, fields = grok_compile(pat)
+    rx = re.compile(flat)
+    for r, line in zip(out, lines):
+        m = rx.search(line)
+        if m:
+            got = tuple("" if r[f] is None else str(r[f]) for f, _ in fields)
+            want = tuple(
+                g if typ is None else str(int(g) if typ == "long" else float(g))
+                for g, (_, typ) in zip(m.groups(), fields)
+            )
+            assert got == want
