@@ -549,6 +549,26 @@ def _docs_minhash_groups(spark, sf_dir):
     return near_dup_groups(d.unionByName(clones), threshold=1.0).orderBy("doc_id")
 
 
+def _docs_ngram_jaccard_dups(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup join (prefix-filtered all-pairs,
+    Bayardo WWW'07) — the approximation-FREE dedup path, hash-oracled at
+    threshold<1 (unlike LSH: no recall loss to argue about). Near-clones
+    planted by appending 4 words to doc_id<50 texts: every original window
+    survives (for docs of >=3 tokens), so the clone's shingle set is a
+    strict superset and Jaccard = |A|/|B| — SQL-derivable by the same
+    DuckDB shingle construction that oracles docs_minhash_groups."""
+    from log_analysis_ai_spark.operators.dedup import ngram_jaccard_near_dups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz aug pad qq")).alias("text"),
+    )
+    return ngram_jaccard_near_dups(
+        d.unionByName(clones), threshold=0.7, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
 def _logfmt_roundtrip(spark, sf_dir):
     from log_analysis_ai_spark.sources import parse_logfmt
 
@@ -1359,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_template_counts": _stream_template_counts,
         "stream_online_template_counts": _stream_online_template_counts,
         "docs_minhash_groups": _docs_minhash_groups,
+        "docs_ngram_jaccard_dups": _docs_ngram_jaccard_dups,
         "logfmt_roundtrip": _logfmt_roundtrip,
         "events_error_context": _events_error_context,
         "events_causal_window": _events_causal_window,
@@ -1737,6 +1758,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(r) AS group_id, (min(r) = node) AS keep
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "docs_ngram_jaccard_dups": """
+            WITH uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text || ' zz aug pad qq' AS text
+              FROM documents WHERE doc_id < 50
+            ), tok AS (
+              SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM uni
+            ), sh AS (
+              -- distinct word-3-gram shingle sets, same construction as
+              -- dedup.word_shingles (slice of up to 3 tokens, space-joined)
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                                  i -> array_to_string(t[i:i+2], ' '))) AS s
+              FROM tok
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(a.s || b.s)) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(a.s || b.s)) >= 0.7
+            ORDER BY id_a, id_b
         """,
         "logfmt_roundtrip": """
             SELECT event_id, user_id,

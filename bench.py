@@ -67,6 +67,13 @@ METRIC_NOTES = [
     "and `deltas_vs_prev_normalized` (prev wall scaled by triad_prev/"
     "triad_now — a bandwidth-bound upper-bound correction: the honest delta "
     "lies between raw and normalized)",
+    "r6: `pipeline_e2e` (and `pipeline_sf1`) now run after an UNTIMED "
+    "180-conv pipeline warmup that pre-compiles the stage codegen and "
+    "spawns the Python workers — measured 15-20 s of one-time JVM cost at "
+    "133 turns/s that amortizes to zero at cluster scale (same rationale "
+    "as the r5 LSH warm timing); the warmup wall is preserved in "
+    "`pipeline_warmup` so the cold cost stays on the record. Not "
+    "comparable with r5-and-earlier cold pipeline walls.",
 ]
 
 
@@ -149,7 +156,21 @@ def main() -> int:
             lsh_cold_warm[name] = {"cold": times[name], "warm": warm}
             times[name] = warm  # deltas track execution, not codegen compile
 
+    # untimed pipeline warmup (tiny input): compiles the stage codegen and
+    # spawns the pandas workers so the timed runs measure execution, not
+    # one-time JVM compile (see METRIC_NOTES r6). Wall preserved below.
+    t0 = time.time()
+    bench_pipeline(spark, 180, "warmup")
+    warmup_wall = round(time.time() - t0, 2)
+
+    try:
+        from ceiling_probe import triad_aggregate
+
+        pipe_health = round(triad_aggregate(8), 1)
+    except Exception:
+        pipe_health = None
     pipe = bench_pipeline(spark, SF_CONVS[sf], sf)
+    pipe["host_triad8_gbs"] = pipe_health
     times["pipeline_e2e"] = pipe["wall_s"]
 
     # sf1-equivalent row, with its own host stamp taken right before it runs
@@ -174,6 +195,7 @@ def main() -> int:
                 "queries": times,
                 "sf": float(sf),
                 "pipeline": pipe,
+                "pipeline_warmup": {"convs": 180, "wall_s": warmup_wall},
                 "pipeline_sf1": sf1,
                 "cpus": cpus,
                 "lsh_cold_warm": lsh_cold_warm,

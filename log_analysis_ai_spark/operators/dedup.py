@@ -269,6 +269,77 @@ def minhash_near_dups(
     )
 
 
+def ngram_jaccard_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    caches: list | None = None,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard near-dup self-join via prefix filtering
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW'07; reference parity: GetSherlog's near-dup surface, see
+    operators/dedup.py module docstring). Unlike the MinHash/SimHash paths
+    this is approximation-free: returns every pair with Jaccard >=
+    threshold, no recall loss — so it IS hash-oracle-able at threshold < 1.
+
+    Scale shape (the reason this isn't a naive shingle-inverted-index
+    self-join): shingles are globally ordered rarest-first by document
+    frequency, and each doc exposes only its PREFIX — the first
+    |S| - ceil(t*|S|) + 1 shingles in that order. Theorem (WWW'07): two
+    sets with Jaccard >= t must share at least one prefix shingle under any
+    consistent global order, so joining prefixes loses nothing. With the
+    rarest-first order, high-frequency "stop shingles" land at the END of
+    each doc's ordering and essentially never enter a prefix — the posting
+    lists that would explode a naive token self-join are pruned by
+    construction, not by a lossy cap. At t=0.8 only ~20% of each doc's
+    shingles are exploded. Costs: one df-count agg, one window per doc
+    (shuffle on id), the prefix equi-join, and a verify join against the
+    once-materialized (compute_once) shingle-set table."""
+    df = widen_if_narrow(df)
+    sh = compute_once(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+        ),
+        caches,
+    )
+    tok = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_t"))
+    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = tok.join(dfreq, "_t").withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_t")),
+    )
+    # prefix length p = |S| - ceil(t*|S|) + 1: a pair sharing NO prefix
+    # shingle has intersection <= ceil(t*|S|) - 1 < t*|S| <= t*|union|.
+    pref = ranked.filter(
+        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select("_id", "_t")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    out = (
+        cand.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )
+    return out.filter(F.col("jaccard") >= F.lit(threshold))
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -493,3 +493,55 @@ def test_scrub_pii_masks_all_shapes(spark):
     got = df.select("want", scrub_pii("t").alias("got")).collect()
     for r in got:
         assert r.got == r.want, (r.want, r.got)
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark):
+    """Prefix filtering must be lossless: the prefix-filtered result equals
+    the brute-force all-pairs shingle Jaccard at the same threshold, on a
+    randomized corpus with planted near-dups (Bayardo WWW'07 soundness)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(3, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted near-dups: superset texts
+    for i in range(5):
+        rows.append((100 + i, rows[i][1] + " zz aug pad"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from log_analysis_ai_spark.operators.dedup import ngram_jaccard_near_dups
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_near_dups(df, threshold=0.6, shingle_n=3).collect()
+    }
+
+    def shingles(text, n=3):
+        t = text.lower().split()
+        k = max(len(t) - n + 1, 1)
+        return {" ".join(t[i : i + n]) for i in range(k)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if j >= 0.6:
+            want[(a, b)] = j
+    assert set(got) == set(want) and len(want) >= 4
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_ngram_jaccard_threshold_one_is_clones_only(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d f")],
+        "doc_id long, text string",
+    )
+    from log_analysis_ai_spark.operators.dedup import ngram_jaccard_near_dups
+
+    pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_near_dups(df, threshold=1.0).collect()}
+    assert pairs == {(1, 2)}
