@@ -569,6 +569,18 @@ def _docs_ngram_jaccard_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _events_heavy_hitters(spark, sf_dir):
+    """Exact top-10 users by event count via the two-pass Misra-Gries
+    operator (candidates per partition, exact recount of candidates only)
+    — the shuffle is candidate-sized, not distinct-key-sized, and the
+    exactness guard proves the answer equals the full groupBy, so a plain
+    SQL top-k oracles it hash-exact."""
+    from log_analysis_ai_spark.operators.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["user_id"], k=10, width=512)
+
+
 def _logfmt_roundtrip(spark, sf_dir):
     from log_analysis_ai_spark.sources import parse_logfmt
 
@@ -1380,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_online_template_counts": _stream_online_template_counts,
         "docs_minhash_groups": _docs_minhash_groups,
         "docs_ngram_jaccard_dups": _docs_ngram_jaccard_dups,
+        "events_heavy_hitters": _events_heavy_hitters,
         "logfmt_roundtrip": _logfmt_roundtrip,
         "events_error_context": _events_error_context,
         "events_causal_window": _events_causal_window,
@@ -1782,6 +1795,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     / len(list_distinct(a.s || b.s)) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "events_heavy_hitters": """
+            SELECT user_id, count(*) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 10
         """,
         "logfmt_roundtrip": """
             SELECT event_id, user_id,

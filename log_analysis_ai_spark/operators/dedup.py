@@ -313,9 +313,16 @@ def ngram_jaccard_near_dups(
     )
     # prefix length p = |S| - ceil(t*|S|) + 1: a pair sharing NO prefix
     # shingle has intersection <= ceil(t*|S|) - 1 < t*|S| <= t*|union|.
-    pref = ranked.filter(
-        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    ).select("_id", "_t")
+    # compute_once: the prefix table feeds BOTH sides of the candidate
+    # self-join, and Catalyst will not fold the (dfreq join + window)
+    # subplan into a ReusedExchange across self-join aliases (NOTES_r3) —
+    # without this the two expensive shuffles run twice.
+    pref = compute_once(
+        ranked.filter(
+            F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        ).select("_id", "_t"),
+        caches,
+    )
     cand = (
         pref.alias("a")
         .join(

@@ -41,3 +41,95 @@ def merge_sketches(sketches: DataFrame, by: list[str] | None = None) -> DataFram
 def estimate(sketches: DataFrame) -> DataFrame:
     """Attach the distinct-count estimate to each sketch row."""
     return sketches.withColumn("n_distinct_est", F.expr("hll_sketch_estimate(sketch)"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 10,
+    width: int = 4096,
+) -> DataFrame:
+    """EXACT top-k keys by count over ultra-high-cardinality key spaces,
+    without shuffling the full distinct-key set.
+
+    The 100 TB problem: a plain groupBy+orderBy+limit shuffles one row per
+    DISTINCT key — at 10^11 distinct session/doc ids that is terabytes of
+    shuffle for a 10-row answer. Two passes fix it:
+
+    - Pass 1: a Misra-Gries summary per partition (mergeable-summaries
+      form: fold each Arrow batch's value_counts into the running summary;
+      on overflow subtract the (width+1)-th largest count from all and
+      drop <=0 — Agarwal et al., "Mergeable Summaries", PODS'12). Emits at
+      most `width` candidate keys per partition. Guarantee: a key absent
+      from EVERY partition summary has global count < N/(width+1).
+    - Pass 2: recount ONLY the candidate keys exactly (broadcast semi-join
+      pushes the key filter to the scan; partial agg makes the shuffle
+      candidate-sized), order by (count desc, keys asc), take k.
+
+    Exactness guard, checked before returning: the answer is provably
+    exact when EITHER no partition ever evicted (candidates = every
+    distinct key) OR the k-th recounted count exceeds N/(width+1) (no
+    missed key can outrank it). Otherwise raises ValueError with the
+    width that would have sufficed — no silently-approximate results.
+    Returns a k-row local DataFrame (the guard needs the values anyway)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from .dedup import compute_once
+
+    out_schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in key_cols]
+        + ["`_evicted` boolean"]
+    )
+
+    def mg_partition(batches):
+        summary = None
+        evicted = False
+        for pdf in batches:
+            counts = pdf.groupby(key_cols, dropna=False, sort=False).size()
+            summary = counts if summary is None else summary.add(counts, fill_value=0)
+            if len(summary) > width:
+                evicted = True
+                cut = summary.nlargest(width + 1).iloc[-1]
+                summary = summary - cut
+                summary = summary[summary > 0]
+        if summary is not None and len(summary):
+            frame = summary.index.to_frame(index=False)
+            frame.columns = key_cols
+            frame["_evicted"] = evicted
+            yield frame
+        elif evicted:
+            # everything was evicted (flat partition): the candidate set is
+            # legitimately empty but the EVICTION SIGNAL must still reach
+            # the guard — emit one all-null marker row (harmless as a
+            # candidate: the null-safe join matches only genuine null keys)
+            yield pd.DataFrame([[None] * len(key_cols) + [True]], columns=key_cols + ["_evicted"])
+
+    cand_all = compute_once(df.select(*key_cols).mapInPandas(mg_partition, out_schema))
+    cand = cand_all.select(*key_cols).distinct()
+    # null-safe semi-join: plain key equality would silently drop genuine
+    # null-keyed groups (and the eviction marker) from the recount
+    join_cond = None
+    for c in key_cols:
+        clause = df[c].eqNullSafe(cand[c])
+        join_cond = clause if join_cond is None else join_cond & clause
+    top = (
+        df.join(F.broadcast(cand), join_cond, "left_semi")
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), *key_cols)
+        .limit(k)
+    )
+    rows = top.collect()
+    exact = len(rows) == k and rows[-1]["n"] > df.count() / (width + 1)
+    if not exact:
+        exact = not (cand_all.agg(F.max("_evicted")).first()[0] or False)
+    if not exact:
+        n_total = df.count()
+        kth = rows[-1]["n"] if rows else 0
+        raise ValueError(
+            f"heavy_hitters exactness guard: k-th count {kth} <= N/(width+1) "
+            f"= {n_total / (width + 1):.1f} and evictions occurred; a missed "
+            f"key could outrank it. Re-run with width > "
+            f"{int(n_total / kth) if kth else width * 2} or use a full groupBy."
+        )
+    return df.sparkSession.createDataFrame(rows, top.schema)

@@ -282,3 +282,17 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_ngram_jaccard_prefix_computed_once(spark):
+    """ngram_jaccard_near_dups: the prefix table (df-count join + per-doc
+    window — two shuffles) must be materialized ONCE and read from the
+    checkpoint by both candidate self-join sides; the final plan carries
+    no Window/Aggregate recompute nodes."""
+    from log_analysis_ai_spark.operators.dedup import ngram_jaccard_near_dups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ngram_jaccard_near_dups(docs, threshold=0.7))
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "row_number" not in plan

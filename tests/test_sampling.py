@@ -149,3 +149,72 @@ def test_hll_incremental_distinct_matches_full(spark, tmp_path):
         assert abs(got[g] - 1500) / 1500 < 0.02      # vs truth
         assert abs(oneshot[g] - 1500) / 1500 < 0.02  # one-shot vs truth
         assert abs(got[g] - oneshot[g]) / 1500 < 0.03  # union vs one-shot
+
+
+def test_heavy_hitters_exact_vs_groupby_with_evictions(spark):
+    """Zipf-ish corpus with cardinality >> width so every partition evicts:
+    the two-pass Misra-Gries answer must equal the exact full groupBy,
+    deterministically tie-broken."""
+    import random
+
+    from log_analysis_ai_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(11)
+    # 60 hot keys (geometric-ish weights) over a 5000-key cold tail
+    rows = []
+    for i in range(20000):
+        if rng.random() < 0.6:
+            rows.append((f"hot{rng.randint(0, 59):02d}",))
+        else:
+            rows.append((f"cold{rng.randint(0, 4999)}",))
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+
+    got = [(r.key, r.n) for r in heavy_hitters(df, ["key"], k=10, width=200).collect()]
+    want = [
+        (r.key, r.n)
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "key")
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_heavy_hitters_guard_raises_on_flat_corpus(spark):
+    """Uniform corpus + tiny width: no key clears the N/(width+1)
+    admission floor, so the operator must refuse rather than return a
+    silently-approximate top-k."""
+    import pytest as _pytest
+
+    from log_analysis_ai_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"k{i}",) for i in range(5000)] * 2  # every key has count 2
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    with _pytest.raises(ValueError, match="exactness guard"):
+        heavy_hitters(df, ["key"], k=10, width=16)
+
+
+def test_heavy_hitters_no_eviction_short_result_is_exact(spark):
+    """Fewer distinct keys than k and no evictions: returns all keys,
+    exactly counted (the no-eviction branch of the guard)."""
+    from log_analysis_ai_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "key string"
+    )
+    got = [(r.key, r.n) for r in heavy_hitters(df, ["key"], k=10, width=64).collect()]
+    assert got == [("a", 5), ("b", 3), ("c", 1)]
+
+
+def test_heavy_hitters_counts_null_keys(spark):
+    """Genuine null keys are a real group (Spark groupBy semantics) and
+    must survive the candidate semi-join (null-safe equality, not plain
+    `=` which never matches null)."""
+    from log_analysis_ai_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(None,)] * 6 + [("a",)] * 4 + [("b",)], "key string"
+    )
+    got = [(r.key, r.n) for r in heavy_hitters(df, ["key"], k=2, width=64).collect()]
+    assert got == [(None, 6), ("a", 4)]
