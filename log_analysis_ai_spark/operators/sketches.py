@@ -78,13 +78,18 @@ def heavy_hitters(
 
     out_schema = ", ".join(
         [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in key_cols]
-        + ["`_evicted` boolean"]
+        + ["`_evicted` boolean", "`_pid` int", "`_part_rows` long"]
     )
 
     def mg_partition(batches):
+        from pyspark import TaskContext  # noqa: PLC0415 — worker-side
+
+        pid = TaskContext.get().partitionId()
         summary = None
         evicted = False
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             counts = pdf.groupby(key_cols, dropna=False, sort=False).size()
             summary = counts if summary is None else summary.add(counts, fill_value=0)
             if len(summary) > width:
@@ -96,13 +101,17 @@ def heavy_hitters(
             frame = summary.index.to_frame(index=False)
             frame.columns = key_cols
             frame["_evicted"] = evicted
+            frame["_pid"], frame["_part_rows"] = pid, n_rows
             yield frame
         elif evicted:
             # everything was evicted (flat partition): the candidate set is
             # legitimately empty but the EVICTION SIGNAL must still reach
             # the guard — emit one all-null marker row (harmless as a
             # candidate: the null-safe join matches only genuine null keys)
-            yield pd.DataFrame([[None] * len(key_cols) + [True]], columns=key_cols + ["_evicted"])
+            yield pd.DataFrame(
+                [[None] * len(key_cols) + [True, pid, n_rows]],
+                columns=key_cols + ["_evicted", "_pid", "_part_rows"],
+            )
 
     cand_all = compute_once(df.select(*key_cols).mapInPandas(mg_partition, out_schema))
     cand = cand_all.select(*key_cols).distinct()
@@ -120,11 +129,16 @@ def heavy_hitters(
         .limit(k)
     )
     rows = top.collect()
-    exact = len(rows) == k and rows[-1]["n"] > df.count() / (width + 1)
+    # N from pass 1's per-partition row counts (every nonempty partition
+    # emits >=1 row) — no third scan of the fact table just to count it
+    acct = cand_all.select("_pid", "_part_rows", "_evicted").groupBy("_pid").agg(
+        F.first("_part_rows").alias("pr"), F.max("_evicted").alias("ev")
+    ).agg(F.sum("pr").alias("n_total"), F.max("ev").alias("evicted")).first()
+    n_total = acct["n_total"] or 0
+    exact = len(rows) == k and rows[-1]["n"] > n_total / (width + 1)
     if not exact:
-        exact = not (cand_all.agg(F.max("_evicted")).first()[0] or False)
+        exact = not (acct["evicted"] or False)
     if not exact:
-        n_total = df.count()
         kth = rows[-1]["n"] if rows else 0
         raise ValueError(
             f"heavy_hitters exactness guard: k-th count {kth} <= N/(width+1) "
