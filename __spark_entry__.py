@@ -581,6 +581,53 @@ def _events_heavy_hitters(spark, sf_dir):
     return heavy_hitters(ev, ["user_id"], k=10, width=512)
 
 
+def _events_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by hash band — pure row function
+    (identical assignment at any parallelism/retry, splits provably
+    disjoint), hash-ORACLED via the engine-portable knuth_hash. Band
+    bounds are int-truncated in python; the oracle hardcodes the same
+    integer literals (SQL CAST would round .8*2^32 up)."""
+    from log_analysis_ai_spark.operators.sampling import hash_split, knuth_hash
+
+    ev = _t(spark, sf_dir, "events")
+    return hash_split(
+        ev.select("event_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        ["event_id"],
+        hash_expr=knuth_hash("event_id"),
+        hash_range=1 << 32,
+    ).orderBy("event_id")
+
+
+def _docs_packed(spark, sf_dir):
+    """Deterministic sequence packing for pretraining batches: docs →
+    (pack_bucket, pack_seq, pack_pos) under a 2048-token budget, packed
+    within 8 portable-hash buckets (the 100 TB shape: per-bucket windows,
+    never one global running sum). Token count = whitespace word count so
+    the whole assignment is SQL-derivable — hash-ORACLED."""
+    from log_analysis_ai_spark.operators.packing import pack_documents
+    from log_analysis_ai_spark.operators.sampling import knuth_hash
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " +")).alias("tokens")
+    )
+    return pack_documents(
+        d, "tokens", budget=2048, buckets=8, hash_expr=knuth_hash("doc_id")
+    ).select("doc_id", "pack_bucket", "pack_seq", "pack_pos").orderBy("doc_id")
+
+
+def _docs_decontaminated(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap rule):
+    docs sharing any word 5-gram with the planted benchmark (doc_id<15)
+    are dropped. The bench shingle set broadcasts; training rows never
+    shuffle. Exact, so hash-ORACLED by the DuckDB shingle construction."""
+    from log_analysis_ai_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") < 15)
+    return decontaminate(d, bench, shingle_n=5).select("doc_id").orderBy("doc_id")
+
+
 def _logfmt_roundtrip(spark, sf_dir):
     from log_analysis_ai_spark.sources import parse_logfmt
 
@@ -1393,6 +1440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_groups": _docs_minhash_groups,
         "docs_ngram_jaccard_dups": _docs_ngram_jaccard_dups,
         "events_heavy_hitters": _events_heavy_hitters,
+        "events_hash_split": _events_hash_split,
+        "docs_packed": _docs_packed,
+        "docs_decontaminated": _docs_decontaminated,
         "logfmt_roundtrip": _logfmt_roundtrip,
         "events_error_context": _events_error_context,
         "events_causal_window": _events_causal_window,
@@ -1800,6 +1850,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n
             FROM events GROUP BY user_id
             ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "events_hash_split": """
+            SELECT event_id,
+                   CASE WHEN ((event_id % 2147483648) * 2654435761) % 4294967296
+                             < 3435973836 THEN 'train'
+                        WHEN ((event_id % 2147483648) * 2654435761) % 4294967296
+                             < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM events ORDER BY event_id
+        """,
+        "docs_packed": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split_regex(text, ' +')) AS tokens,
+                     ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+              FROM documents
+            ), p AS (
+              SELECT doc_id, h, CAST(h % 8 AS INT) AS pack_bucket,
+                     COALESCE(SUM(tokens) OVER (
+                       PARTITION BY h % 8 ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+              FROM t
+            ), q AS (
+              SELECT doc_id, pack_bucket,
+                     CAST(floor(prev / 2048.0) AS BIGINT) AS pack_seq, h
+              FROM p
+            )
+            SELECT doc_id, pack_bucket, pack_seq,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY pack_bucket, pack_seq ORDER BY h, doc_id
+                   ) - 1 AS INT) AS pack_pos
+            FROM q ORDER BY doc_id
+        """,
+        "docs_decontaminated": """
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                                                  i -> array_to_string(t[i:i+4], ' '))) AS s
+              FROM tok
+            ), bsh AS (
+              SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 15
+            ), hits AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(s) AS g FROM sh) x
+              WHERE g IN (SELECT g FROM bsh)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            ORDER BY doc_id
         """,
         "logfmt_roundtrip": """
             SELECT event_id, user_id,

@@ -598,3 +598,53 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    bench_text_col: str | None = None,
+    flag_only: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: remove (or flag) training documents that
+    share ANY word n-gram with an evaluation/benchmark set — the standard
+    n-gram-overlap rule used for pretraining-set decontamination (as
+    published in the GPT-3 and PaLM appendices; n≈8-13 words there, default
+    5 here for short-document corpora).
+
+    Scale shape: the benchmark is tiny relative to a 100 TB corpus, so its
+    DISTINCT shingle set is BROADCAST; the check on the training side is an
+    exploded-shingle broadcast left-semi join — ONE scan of the corpus,
+    zero shuffle of training rows, no pair space at all. With
+    `flag_only=True` returns train + a `contaminated` boolean instead of
+    dropping (for audit-then-drop workflows)."""
+    bsh = (
+        bench.select(
+            F.explode(
+                F.array_distinct(word_shingles(bench_text_col or text_col, shingle_n))
+            ).alias("_t")
+        )
+        .distinct()
+    )
+    tsh = train.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("_t"),
+    )
+    hit = (
+        tsh.join(F.broadcast(bsh), "_t", "left_semi")
+        .select(F.col("_cid"))
+        .distinct()
+    )
+    if flag_only:
+        return train.join(
+            hit.withColumn("contaminated", F.lit(True)),
+            train[id_col] == hit["_cid"],
+            "left",
+        ).select(
+            *[train[c] for c in train.columns],
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    return train.join(hit, train[id_col] == hit["_cid"], "left_anti")

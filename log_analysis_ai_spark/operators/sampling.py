@@ -114,3 +114,41 @@ def stratified_cap(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols,
+    salt: int = 0,
+    hash_expr: Column | None = None,
+    hash_range: int = 1 << 62,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test split: each row's split label
+    is the hash band its key falls into (weights partition [0, hash_range)
+    into contiguous bands). A pure row function — the same row lands in
+    the same split at any parallelism, any retry, any incremental re-run,
+    and the splits provably never overlap (disjoint bands of ONE hash).
+    Narrow codegen projection: no shuffle, no RNG, no driver state.
+
+    `weights` is ordered name -> weight (normalized over its sum);
+    `hash_expr` is pluggable like deterministic_sample's (the entry oracle
+    substitutes the engine-portable `knuth_hash` with its matching
+    hash_range=2^32)."""
+    names = list(weights)
+    fracs = [float(weights[n]) for n in names]
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    if any(f < 0 for f in fracs) or sum(fracs) <= 0:
+        raise ValueError(f"weights must be non-negative with positive sum: {weights}")
+    total = sum(fracs)
+    h = hash_expr if hash_expr is not None else xxhash(key_cols, salt)
+    expr = None
+    acc = 0.0
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        acc += frac
+        bound = F.lit(int(acc / total * hash_range))
+        expr = F.when(h < bound, name) if expr is None else expr.when(h < bound, name)
+    expr = expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)

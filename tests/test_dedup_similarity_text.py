@@ -545,3 +545,33 @@ def test_ngram_jaccard_threshold_one_is_clones_only(spark):
 
     pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_near_dups(df, threshold=1.0).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    """Docs sharing any word n-gram with the benchmark are dropped (or
+    flagged); disjoint docs survive untouched."""
+    from log_analysis_ai_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different sentence with no overlap at all"),
+            (3, "another clean document talking about other things entirely"),
+            (4, "we said the quick brown fox jumps again here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over obstacles",)],
+        "doc_id long, text string",
+    )
+    # n=6: docs 1 shares "the quick brown fox jumps over"; doc 4's only
+    # 5-gram overlap ("the quick brown fox jumps") is too short to match
+    clean6 = decontaminate(train, bench, shingle_n=6)
+    assert sorted(r.doc_id for r in clean6.collect()) == [2, 3, 4]
+    # n=5: doc 4 shares "the quick brown fox jumps" and is dropped too
+    clean5 = decontaminate(train, bench, shingle_n=5)
+    assert sorted(r.doc_id for r in clean5.collect()) == [2, 3]
+    flagged = decontaminate(train, bench, shingle_n=4, flag_only=True)
+    f = {r.doc_id: r.contaminated for r in flagged.collect()}
+    assert f == {1: True, 2: False, 3: False, 4: True}

@@ -218,3 +218,86 @@ def test_heavy_hitters_counts_null_keys(spark):
     )
     got = [(r.key, r.n) for r in heavy_hitters(df, ["key"], k=2, width=64).collect()]
     assert got == [(None, 6), ("a", 4)]
+
+
+def test_hash_split_partitions_disjoint_and_deterministic(spark):
+    """Splits must partition the corpus (every row exactly one label),
+    stay identical across parallelism, and respect band proportions."""
+    from log_analysis_ai_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.id: r.split for r in hash_split(df, w, ["id"]).collect()}
+    b = {
+        r.id: r.split
+        for r in hash_split(df.repartition(13), w, ["id"]).collect()
+    }
+    assert a == b and len(a) == 5000
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 5000 < 0.85
+    assert 0.07 < c["val"] / 5000 < 0.13
+
+
+def test_hash_split_bad_weights_raise(spark):
+    import pytest as _pytest
+
+    from log_analysis_ai_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError):
+        hash_split(df, {"only": 1.0}, ["id"])
+    with _pytest.raises(ValueError):
+        hash_split(df, {"a": -0.5, "b": 1.5}, ["id"])
+
+
+def test_pack_documents_matches_bruteforce(spark):
+    """Packing is a pure function: brute-force the same (hash, id) order
+    and exclusive-prefix-sum rule in python and compare every assignment."""
+    import random
+
+    from log_analysis_ai_spark.operators.packing import pack_documents
+    from log_analysis_ai_spark.operators.sampling import knuth_hash
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(10, 900)) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens int")
+    got = {
+        r.doc_id: (r.pack_bucket, r.pack_seq, r.pack_pos)
+        for r in pack_documents(
+            df, "tokens", budget=2048, buckets=8,
+            hash_expr=knuth_hash("doc_id"),
+        ).collect()
+    }
+    assert len(got) == 800
+
+    def kh(key):
+        return ((key % (1 << 31)) * 2654435761) % (1 << 32)
+
+    want = {}
+    byb = {}
+    for i, t in rows:
+        byb.setdefault(kh(i) % 8, []).append((kh(i), i, t))
+    for b, docs in byb.items():
+        docs.sort()
+        acc = 0
+        pos = {}
+        for h, i, t in docs:
+            seq = acc // 2048
+            want[i] = (b, seq, pos.get(seq, 0))
+            pos[seq] = pos.get(seq, 0) + 1
+            acc += t
+    assert got == want
+
+
+def test_pack_documents_invariant_to_parallelism(spark):
+    from log_analysis_ai_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame([(i, 100 + i % 50) for i in range(500)], "doc_id long, tokens int")
+    a = {r.doc_id: (r.pack_bucket, r.pack_seq, r.pack_pos)
+         for r in pack_documents(df, "tokens", 1024, buckets=4).collect()}
+    b = {r.doc_id: (r.pack_bucket, r.pack_seq, r.pack_pos)
+         for r in pack_documents(df.repartition(17), "tokens", 1024, buckets=4).collect()}
+    assert a == b
