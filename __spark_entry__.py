@@ -628,6 +628,38 @@ def _docs_decontaminated(spark, sf_dir):
     return decontaminate(d, bench, shingle_n=5).select("doc_id").orderBy("doc_id")
 
 
+def _docs_repetition_filter(spark, sf_dir):
+    """Gopher/MassiveText repetition-removal metrics + keep flag (Rae et
+    al. 2021 Table A1), computed by the shuffle-free sorted-array fold
+    (functions.text._rep_fold). Repetition planted deterministically
+    (doc_id%11: appended spam run; doc_id%7: line duplicated) so all four
+    metrics exercise both sides of their thresholds; every metric is an
+    integer ratio, so the DuckDB unnest/groupBy oracle is hash-exact."""
+    from log_analysis_ai_spark.functions.text import gopher_repetition_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat("text", F.lit(" spam spam spam spam spam")),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit("\n"), "text")
+        ).otherwise(F.col("text")),
+    )
+    return gopher_repetition_filter(d).select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_2gram_char_frac",
+        "dup_5gram_char_frac",
+        "keep_repetition",
+    ).orderBy("doc_id")
+
+
 def _logfmt_roundtrip(spark, sf_dir):
     from log_analysis_ai_spark.sources import parse_logfmt
 
@@ -1443,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hash_split": _events_hash_split,
         "docs_packed": _docs_packed,
         "docs_decontaminated": _docs_decontaminated,
+        "docs_repetition_filter": _docs_repetition_filter,
         "logfmt_roundtrip": _logfmt_roundtrip,
         "events_error_context": _events_error_context,
         "events_causal_window": _events_causal_window,
@@ -1882,6 +1915,72 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY pack_bucket, pack_seq ORDER BY h, doc_id
                    ) - 1 AS INT) AS pack_pos
             FROM q ORDER BY doc_id
+        """,
+        "docs_repetition_filter": """
+            WITH uni0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN text || ' spam spam spam spam spam'
+                          ELSE text END AS text
+              FROM documents
+            ), uni AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || chr(10) || text
+                          ELSE text END AS text
+              FROM uni0
+            ), l AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM uni
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2
+            ), lm AS (
+              SELECT doc_id, SUM(cnt) AS nl,
+                     SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dupn,
+                     SUM(CASE WHEN cnt > 1 THEN cnt * len(line) ELSE 0 END) AS dupch
+              FROM lc GROUP BY 1
+            ), tok AS (
+              SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM uni
+            ), g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                           i -> array_to_string(t[i:i+1], ' '))) AS g
+              FROM tok
+            ), g2c AS (
+              SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2
+            ), g2t AS (
+              SELECT doc_id, cnt, g FROM (
+                SELECT doc_id, cnt, g,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g DESC) AS rn
+                FROM g2c) WHERE rn = 1
+            ), g5 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                                           i -> array_to_string(t[i:i+4], ' '))) AS g
+              FROM tok
+            ), g5c AS (
+              SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2
+            ), g5m AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) AS dupch
+              FROM g5c GROUP BY 1
+            ), m AS (
+              SELECT u.doc_id,
+                     COALESCE(CAST(lm.dupn AS DOUBLE) / lm.nl, 0) AS dup_line_frac,
+                     COALESCE(CAST(lm.dupch AS DOUBLE) / NULLIF(len(u.text), 0), 0) AS dup_line_char_frac,
+                     COALESCE(CAST(g2t.cnt * len(g2t.g) AS DOUBLE) / NULLIF(len(u.text), 0), 0) AS top_2gram_char_frac,
+                     COALESCE(CAST(g5m.dupch AS DOUBLE) / NULLIF(len(u.text), 0), 0) AS dup_5gram_char_frac
+              FROM uni u
+              LEFT JOIN lm USING (doc_id)
+              LEFT JOIN g2t USING (doc_id)
+              LEFT JOIN g5m USING (doc_id)
+            )
+            SELECT doc_id, dup_line_frac, dup_line_char_frac,
+                   top_2gram_char_frac, dup_5gram_char_frac,
+                   (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                    AND top_2gram_char_frac <= 0.20
+                    AND dup_5gram_char_frac <= 0.15) AS keep_repetition
+            FROM m ORDER BY doc_id
         """,
         "docs_decontaminated": """
             WITH tok AS (

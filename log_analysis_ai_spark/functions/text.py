@@ -117,3 +117,114 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(col))
         .withColumn("fingerprint", doc_fingerprint(col))
     )
+
+
+def _rep_fold(sorted_arr):
+    """One-pass fold over a SORTED string array computing repetition
+    metrics without a shuffle or an explode: (dup_count, dup_chars,
+    top_run, top_gram). Sorting groups equal elements into runs, so a
+    single F.aggregate with a struct accumulator counts, per element:
+    membership in a run of length >=2 (when a run reaches 2, the previous
+    element is retro-counted), the longest run, and — ties broken toward
+    the lexicographically LARGEST element, which the ascending sort makes
+    a simple >= replacement — the element achieving it. Pure whole-stage
+    codegen: the 100 TB shape for per-document metrics (the explode +
+    groupBy(doc, gram) formulation shuffles one row per gram occurrence)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bestg"),
+        F.lit(0).alias("dupc"),
+        F.lit(0).cast("long").alias("dupch"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        add = F.when(run == 2, F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            F.when(run >= acc["best"], x).otherwise(acc["bestg"]).alias("bestg"),
+            (acc["dupc"] + add).alias("dupc"),
+            (acc["dupch"] + add.cast("long") * F.length(x)).alias("dupch"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["dupc"].alias("dup_count"),
+            acc["dupch"].alias("dup_chars"),
+            acc["best"].alias("top_run"),
+            acc["bestg"].alias("top_gram"),
+        ),
+    )
+
+
+def repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher/MassiveText repetition metrics per document (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the published pretraining
+    repetition-removal rules), computed entirely JVM-side (see _rep_fold):
+
+    - dup_line_frac: lines whose exact text occurs more than once
+      (counted with multiplicity) / total lines;
+    - dup_line_char_frac: characters in those lines / length(text);
+    - top_2gram_char_frac: occurrences x length of the most frequent word
+      2-gram (lowercased; ties -> lexicographically largest) / length(text);
+    - dup_5gram_char_frac: characters across all duplicated word 5-grams
+      / length(text).
+
+    Empty/degenerate texts score 0 (never div-by-zero)."""
+    from ..operators.dedup import word_shingles
+
+    c = F.col(col)
+    tlen = F.nullif(F.length(c), F.lit(0)).cast("double")
+    lines = F.split(c, "\n")
+    lf = _rep_fold(F.array_sort(lines))
+    g2 = _rep_fold(F.array_sort(word_shingles(col, 2)))
+    g5 = _rep_fold(F.array_sort(word_shingles(col, 5)))
+    zero = F.lit(0.0)
+    return (
+        df.withColumn("_lf", lf)
+        .withColumn("_g2", g2)
+        .withColumn("_g5", g5)
+        .withColumn(
+            "dup_line_frac",
+            F.coalesce(F.col("_lf.dup_count") / F.size(lines), zero),
+        )
+        .withColumn(
+            "dup_line_char_frac", F.coalesce(F.col("_lf.dup_chars") / tlen, zero)
+        )
+        .withColumn(
+            "top_2gram_char_frac",
+            F.coalesce(
+                F.col("_g2.top_run") * F.length("_g2.top_gram") / tlen, zero
+            ),
+        )
+        .withColumn(
+            "dup_5gram_char_frac", F.coalesce(F.col("_g5.dup_chars") / tlen, zero)
+        )
+        .drop("_lf", "_g2", "_g5")
+    )
+
+
+# Rae et al. 2021 Table A1 thresholds for the metrics implemented above
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "dup_5gram_char_frac": 0.15,
+}
+
+
+def gopher_repetition_filter(df: DataFrame, col: str = "text") -> DataFrame:
+    """repetition_stats + `keep_repetition` boolean: True iff every metric
+    is at or under its published Gopher threshold."""
+    d = repetition_stats(df, col)
+    keep = F.lit(True)
+    for m, t in GOPHER_REPETITION_THRESHOLDS.items():
+        keep = keep & (F.col(m) <= F.lit(t))
+    return d.withColumn("keep_repetition", keep)

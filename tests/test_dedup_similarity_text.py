@@ -575,3 +575,81 @@ def test_decontaminate_drops_overlapping_docs(spark):
     flagged = decontaminate(train, bench, shingle_n=4, flag_only=True)
     f = {r.doc_id: r.contaminated for r in flagged.collect()}
     assert f == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_repetition_stats_match_bruteforce(spark):
+    """The sorted-array fold must reproduce brute-force repetition metrics
+    (dup-line / dup-line-char / top-2gram-char / dup-5gram-char fractions)
+    on crafted and random docs."""
+    import random
+
+    from log_analysis_ai_spark.functions.text import repetition_stats
+
+    rng = random.Random(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (0, "a b\na b\nc d"),                        # dup lines
+        (1, "x y x y x y x y"),                      # heavy 2-gram repeat
+        (2, "unique line one\nsecond line here"),    # clean
+        (3, ""),                                     # empty
+        (4, "w w w w w w w w w w"),                  # one token repeated
+    ]
+    for i in range(5, 25):
+        n = rng.randint(1, 30)
+        txt = " ".join(rng.choice(vocab) for _ in range(n))
+        if i % 3 == 0:
+            txt = txt + "\n" + txt
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            round(r.dup_line_frac, 9),
+            round(r.dup_line_char_frac, 9),
+            round(r.top_2gram_char_frac, 9),
+            round(r.dup_5gram_char_frac, 9),
+        )
+        for r in repetition_stats(df).collect()
+    }
+
+    def shingles(t, n):
+        # word_shingles tokenizes on space runs ONLY (" +"), not all
+        # whitespace — newlines stay inside tokens
+        import re
+
+        toks = re.split(" +", t.lower())
+        k = max(len(toks) - n + 1, 1)
+        return [" ".join(toks[i : i + n]) for i in range(k)]
+
+    from collections import Counter
+
+    for i, t in rows:
+        L = len(t)
+        lines = t.split("\n")
+        lc = Counter(lines)
+        dupn = sum(c for c in lc.values() if c > 1)
+        dupch = sum(c * len(x) for x, c in lc.items() if c > 1)
+        g2 = Counter(shingles(t, 2)) if t else Counter({"": 1})
+        top = max(g2.items(), key=lambda kv: (kv[1], kv[0]))
+        g5 = Counter(shingles(t, 5)) if t else Counter({"": 1})
+        d5 = sum(c * len(g) for g, c in g5.items() if c > 1)
+        want = (
+            round(dupn / len(lines), 9),
+            round(dupch / L, 9) if L else 0.0,
+            round(top[1] * len(top[0]) / L, 9) if L else 0.0,
+            round(d5 / L, 9) if L else 0.0,
+        )
+        assert got[i] == want, (i, t, got[i], want)
+
+
+def test_gopher_repetition_filter_flags(spark):
+    from log_analysis_ai_spark.functions.text import gopher_repetition_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y x y x y"),  # top-2gram frac way over 0.20
+            (2, "a perfectly normal sentence with no repetition in sight today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.keep_repetition for r in gopher_repetition_filter(df).collect()}
+    assert got == {1: False, 2: True}
