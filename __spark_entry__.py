@@ -660,6 +660,34 @@ def _docs_repetition_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _docs_gopher_quality(spark, sf_dir):
+    """The non-repetition Gopher quality rules (Rae et al. 2021 Table A1)
+    as narrow JVM expressions; variety planted (bulleted/ellipsis lines by
+    doc_id mod) so line-level rules exercise both branches. Every metric
+    is an integer ratio or count — hash-oracled."""
+    from log_analysis_ai_spark.functions.text import gopher_quality_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit("- bullet intro\n"), "text", F.lit("\ntrailing...")),
+        ).otherwise(F.col("text")),
+    )
+    return gopher_quality_filter(d).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "stopword_count",
+        "keep_quality",
+    ).orderBy("doc_id")
+
+
 def _logfmt_roundtrip(spark, sf_dir):
     from log_analysis_ai_spark.sources import parse_logfmt
 
@@ -1476,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_packed": _docs_packed,
         "docs_decontaminated": _docs_decontaminated,
         "docs_repetition_filter": _docs_repetition_filter,
+        "docs_gopher_quality": _docs_gopher_quality,
         "logfmt_roundtrip": _logfmt_roundtrip,
         "events_error_context": _events_error_context,
         "events_causal_window": _events_causal_window,
@@ -1914,6 +1943,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (
                      PARTITION BY pack_bucket, pack_seq ORDER BY h, doc_id
                    ) - 1 AS INT) AS pack_pos
+            FROM q ORDER BY doc_id
+        """,
+        "docs_gopher_quality": """
+            WITH uni AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0
+                          THEN '- bullet intro' || chr(10) || text || chr(10) || 'trailing...'
+                          ELSE text END AS text
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(string_split_regex(text, ' +')) AS n_words,
+                     CAST(len(regexp_replace(text, ' +', '', 'g')) AS DOUBLE) AS word_chars,
+                     len(text) - len(replace(text, '#', '')) AS hash_cnt,
+                     len(text) - len(replace(text, '…', '')) AS uni_ell,
+                     (len(text) - len(replace(text, '...', ''))) / 3.0 AS dot_ell,
+                     string_split(text, chr(10)) AS lines,
+                     string_split_regex(text, ' +') AS toks
+              FROM uni
+            ), q AS (
+              SELECT doc_id, n_words,
+                     word_chars / n_words AS mean_word_len,
+                     (hash_cnt + uni_ell + dot_ell) / n_words AS symbol_word_ratio,
+                     CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE)
+                       / len(lines) AS bullet_line_frac,
+                     CAST(len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE)
+                       / len(lines) AS ellipsis_line_frac,
+                     CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                       / n_words AS alpha_word_frac,
+                     len(list_filter(['the','be','to','of','and','that','have','with'],
+                                     s -> list_contains(list_transform(toks, t -> lower(t)), s))) AS stopword_count
+              FROM m
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                   stopword_count,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND stopword_count >= 2) AS keep_quality
             FROM q ORDER BY doc_id
         """,
         "docs_repetition_filter": """

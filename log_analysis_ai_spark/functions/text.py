@@ -228,3 +228,81 @@ def gopher_repetition_filter(df: DataFrame, col: str = "text") -> DataFrame:
     for m, t in GOPHER_REPETITION_THRESHOLDS.items():
         keep = keep & (F.col(m) <= F.lit(t))
     return d.withColumn("keep_repetition", keep)
+
+
+# the Rae et al. 2021 Table A1 "quality" rules implemented in
+# gopher_quality_stats, with their published bounds
+GOPHER_QUALITY_THRESHOLDS = {
+    "n_words": (50, 100000),
+    "mean_word_len": (3.0, 10.0),
+    "symbol_word_ratio": (None, 0.1),
+    "bullet_line_frac": (None, 0.9),
+    "ellipsis_line_frac": (None, 0.3),
+    "alpha_word_frac": (0.8, None),
+    "stopword_count": (2, None),
+}
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """The non-repetition Gopher quality metrics (Rae et al. 2021 Table
+    A1), per document, as narrow JVM expressions — no UDFs, no shuffles:
+
+    - n_words (space-run tokens) and mean word length;
+    - symbol_word_ratio: '#' / ellipsis ('...' or Unicode) occurrences per
+      word;
+    - bullet_line_frac / ellipsis_line_frac: lines starting with a bullet
+      / ending with an ellipsis;
+    - alpha_word_frac: words containing at least one A-Za-z character;
+    - stopword_count: distinct hits from the canonical 8-stopword list
+      (lowercased exact-token match).
+
+    Counts of multi-char needles use length-difference-after-replace
+    (non-overlapping, left-to-right — identical semantics in any engine,
+    which keeps the metrics SQL-oracle-able)."""
+    c = F.col(col)
+    toks = F.split(c, " +")
+    n_words = F.size(toks)
+    word_chars = F.length(F.regexp_replace(c, " +", ""))
+    hash_cnt = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    uni_ell = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    dot_ell = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    ell_lines = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    low = F.transform(toks, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(low, s),
+        )
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", word_chars / n_words.cast("double"))
+        .withColumn(
+            "symbol_word_ratio", (hash_cnt + uni_ell + dot_ell) / n_words.cast("double")
+        )
+        .withColumn("bullet_line_frac", bullets / n_lines.cast("double"))
+        .withColumn("ellipsis_line_frac", ell_lines / n_lines.cast("double"))
+        .withColumn("alpha_word_frac", alpha_words / n_words.cast("double"))
+        .withColumn("stopword_count", stop_hits)
+    )
+
+
+def gopher_quality_filter(df: DataFrame, col: str = "text") -> DataFrame:
+    """gopher_quality_stats + `keep_quality` boolean: True iff every
+    metric sits inside its published bound."""
+    d = gopher_quality_stats(df, col)
+    keep = F.lit(True)
+    for m, (lo, hi) in GOPHER_QUALITY_THRESHOLDS.items():
+        if lo is not None:
+            keep = keep & (F.col(m) >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (F.col(m) <= F.lit(hi))
+    return d.withColumn("keep_quality", keep)

@@ -653,3 +653,56 @@ def test_gopher_repetition_filter_flags(spark):
     )
     got = {r.doc_id: r.keep_repetition for r in gopher_repetition_filter(df).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_gopher_quality_stats_match_bruteforce(spark):
+    import re
+
+    from log_analysis_ai_spark.functions.text import gopher_quality_filter
+
+    rows = [
+        (0, "the cat sat on the mat with a hat and that was that to be sure of it have fun " * 4),
+        (1, "short text"),
+        (2, "- bullet one\n- bullet two\nplain line"),
+        (3, "trailing dots...\nand more…\nclean"),
+        (4, "#### #tags# everywhere # here"),
+        (5, "12 34 56 78 90"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_words,
+            round(r.mean_word_len, 9),
+            round(r.symbol_word_ratio, 9),
+            round(r.bullet_line_frac, 9),
+            round(r.ellipsis_line_frac, 9),
+            round(r.alpha_word_frac, 9),
+            r.stopword_count,
+            r.keep_quality,
+        )
+        for r in gopher_quality_filter(df).collect()
+    }
+    stop = ("the", "be", "to", "of", "and", "that", "have", "with")
+    for i, t in rows:
+        toks = re.split(" +", t)
+        nw = len(toks)
+        wc = len(re.sub(" +", "", t))
+        sym = t.count("#") + t.count("…") + (len(t) - len(t.replace("...", ""))) / 3
+        lines = t.split("\n")
+        bl = sum(1 for x in lines if re.match(r"^\s*[-*•]", x))
+        el = sum(1 for x in lines if x.endswith("...") or x.endswith("…"))
+        aw = sum(1 for x in toks if re.search("[A-Za-z]", x))
+        low = [x.lower() for x in toks]
+        sc = sum(1 for s in stop if s in low)
+        mean = wc / nw
+        keep = (
+            50 <= nw <= 100000 and 3.0 <= mean <= 10.0 and sym / nw <= 0.1
+            and bl / len(lines) <= 0.9 and el / len(lines) <= 0.3
+            and aw / nw >= 0.8 and sc >= 2
+        )
+        want = (
+            nw, round(mean, 9), round(sym / nw, 9),
+            round(bl / len(lines), 9), round(el / len(lines), 9),
+            round(aw / nw, 9), sc, keep,
+        )
+        assert got[i] == want, (i, got[i], want)
