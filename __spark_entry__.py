@@ -1976,9 +1976,10 @@ def oracle_sql() -> dict[str, str]:
                                      s -> list_contains(list_transform(toks, t -> lower(t)), s))) AS stopword_count
               FROM m
             )
-            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+            SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+                   symbol_word_ratio,
                    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-                   stopword_count,
+                   CAST(stopword_count AS INT) AS stopword_count,
                    (n_words BETWEEN 50 AND 100000
                     AND mean_word_len BETWEEN 3.0 AND 10.0
                     AND symbol_word_ratio <= 0.1
