@@ -688,6 +688,35 @@ def _docs_gopher_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _docs_c4_clean(spark, sf_dir):
+    """C4 cleaning recipe (Raffel et al. 2020 §2.2): line-level terminal-
+    punctuation + javascript filters, doc-level lorem-ipsum / brace /
+    5-sentence rules. Variety planted by doc_id mod (extra punctuated
+    line, a javascript line, a lorem-ipsum tail) so every rule fires both
+    ways. Exact string/count semantics — hash-oracled."""
+    from log_analysis_ai_spark.functions.text import c4_clean
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\nGood extra sentence.")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit("\nthis line uses javascript.")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" lorem ipsum")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return c4_clean(d).select(
+        "doc_id", "clean_text", "n_sentences", "keep_c4"
+    ).orderBy("doc_id")
+
+
 def _logfmt_roundtrip(spark, sf_dir):
     from log_analysis_ai_spark.sources import parse_logfmt
 
@@ -1505,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminated": _docs_decontaminated,
         "docs_repetition_filter": _docs_repetition_filter,
         "docs_gopher_quality": _docs_gopher_quality,
+        "docs_c4_clean": _docs_c4_clean,
         "logfmt_roundtrip": _logfmt_roundtrip,
         "events_error_context": _events_error_context,
         "events_causal_window": _events_causal_window,
@@ -1944,6 +1974,35 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY pack_bucket, pack_seq ORDER BY h, doc_id
                    ) - 1 AS INT) AS pack_pos
             FROM q ORDER BY doc_id
+        """,
+        "docs_c4_clean": """
+            WITH uni AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || 'Good extra sentence.' ELSE '' END
+                     || CASE WHEN doc_id % 9 = 0
+                             THEN chr(10) || 'this line uses javascript.' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' lorem ipsum' ELSE '' END AS text
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text,
+                     -- duckdb array_to_string of an EMPTY list is NULL
+                     -- (spark array_join gives ''): coalesce to match
+                     COALESCE(array_to_string(
+                       list_filter(string_split(text, chr(10)),
+                                   x -> regexp_matches(x, '[.!?"]\\s*$')
+                                        AND NOT contains(lower(x), 'javascript')),
+                       chr(10)), '') AS clean_text
+              FROM uni
+            )
+            SELECT doc_id, clean_text,
+                   CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INT) AS n_sentences,
+                   (len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS keep_c4
+            FROM m ORDER BY doc_id
         """,
         "docs_gopher_quality": """
             WITH uni AS (

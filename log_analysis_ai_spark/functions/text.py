@@ -306,3 +306,36 @@ def gopher_quality_filter(df: DataFrame, col: str = "text") -> DataFrame:
         if hi is not None:
             keep = keep & (F.col(m) <= F.lit(hi))
     return d.withColumn("keep_quality", keep)
+
+
+def c4_clean(df: DataFrame, col: str = "text") -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning", §2.2) as narrow JVM expressions:
+
+    - line level: keep only lines ending in terminal punctuation
+      (. ! ? or closing quote) and not mentioning 'javascript';
+      `clean_text` is the kept lines re-joined;
+    - doc level: `keep_c4` is True iff the cleaned page still has at
+      least 5 sentences (terminal-punctuation count) and the ORIGINAL
+      text contains neither 'lorem ipsum' nor '{'.
+
+    Adds clean_text, n_sentences, keep_c4; never drops rows itself (the
+    caller filters on keep_c4) so audits can inspect rejected pages."""
+    c = F.col(col)
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]\\s*$') & ~F.lower(x).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit("[.!?]"))
+    keep = (
+        (n_sent >= F.lit(5))
+        & ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+    )
+    return (
+        df.withColumn("clean_text", clean)
+        .withColumn("n_sentences", n_sent)
+        .withColumn("keep_c4", keep)
+    )

@@ -706,3 +706,33 @@ def test_gopher_quality_stats_match_bruteforce(spark):
             round(aw / nw, 9), sc, keep,
         )
         assert got[i] == want, (i, got[i], want)
+
+
+def test_c4_clean_matches_bruteforce(spark):
+    import re
+
+    from log_analysis_ai_spark.functions.text import c4_clean
+
+    rows = [
+        (0, 'Good sentence one. Another fine line!\nno punctuation here\nUses javascript today.\nKept line?\n"Quoted."'),
+        (1, "One. Two. Three. Four. Five. Six."),
+        (2, "Lorem Ipsum dolor sit amet. " * 6),
+        (3, "code = { x: 1 }. Valid sentence. More. And more. Again. Final."),
+        (4, "Too short. Really."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_sentences, r.keep_c4)
+        for r in c4_clean(df).collect()
+    }
+    for i, t in rows:
+        kept = [
+            x
+            for x in t.split("\n")
+            if re.search(r'[.!?"]\s*$', x) and "javascript" not in x.lower()
+        ]
+        clean = "\n".join(kept)
+        ns = len(re.findall(r"[.!?]", clean))
+        keep = ns >= 5 and "lorem ipsum" not in t.lower() and "{" not in t
+        assert got[i] == (clean, ns, keep), (i, got[i], (clean, ns, keep))
+    assert got[1][2] and not got[2][2] and not got[3][2] and not got[4][2]
