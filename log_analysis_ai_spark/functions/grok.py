@@ -152,15 +152,25 @@ def grok_compile(
                 raise KeyError(
                     f"unknown grok pattern %{{{name}}}; known: {sorted(lib)[:20]}..."
                 )
-            body = expand(_decapture(lib[name]), depth + 1)
             if field is None:
-                return f"(?:{body})"
+                return f"(?:{expand(_decapture(lib[name]), depth + 1)})"
+            # Append the OUTER field before expanding the body: the outer
+            # capture's `(` precedes any nested named groups in the regex, so
+            # fields order must match paren order (`%{COMMONAPACHELOG:line}`
+            # captures `line` at group 1, `clientip` at group 2, ...).
             fields.append((field, _TYPES[typ]))
-            return f"({body})"
+            return f"({expand(_decapture(lib[name]), depth + 1)})"
 
         return _REF.sub(sub, pat)
 
     flat = expand(_decapture(pattern), 0)
+    leftover = re.search(r"%\{[^}]*\}?", flat)
+    if leftover:
+        raise ValueError(
+            f"unparsable grok reference {leftover.group(0)!r} — a malformed "
+            "%{NAME:field[:int|float]} token (bad cast name or illegal field "
+            "character) would otherwise land in the regex as literal text"
+        )
     seen: set[str] = set()
     for f, _ in fields:
         if f in seen:

@@ -174,6 +174,11 @@ def repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
     - dup_line_char_frac: characters in those lines / length(text);
     - top_2gram_char_frac: occurrences x length of the most frequent word
       2-gram (lowercased; ties -> lexicographically largest) / length(text);
+      NOTE Rae et al. do not specify a tie-break when several 2-grams share
+      the max count, so cross-implementation numbers can differ on tied
+      corpora when the tied grams have different lengths — this engine's
+      convention (lexicographically LARGEST winner, shared by the oracle
+      SQL and pinned by a tied-corpus test) is one valid reading;
     - dup_5gram_char_frac: characters across all duplicated word 5-grams
       / length(text).
 
@@ -313,11 +318,22 @@ def c4_clean(df: DataFrame, col: str = "text") -> DataFrame:
     of Transfer Learning", §2.2) as narrow JVM expressions:
 
     - line level: keep only lines ending in terminal punctuation
-      (. ! ? or closing quote) and not mentioning 'javascript';
-      `clean_text` is the kept lines re-joined;
+      (. ! ? or closing quote), containing at least 3 space-separated
+      words, and not mentioning 'javascript'; `clean_text` is the kept
+      lines re-joined;
     - doc level: `keep_c4` is True iff the cleaned page still has at
-      least 5 sentences (terminal-punctuation count) and the ORIGINAL
-      text contains neither 'lorem ipsum' nor '{'.
+      least 5 sentences and the ORIGINAL text contains neither
+      'lorem ipsum' nor '{'. A sentence is a maximal RUN of terminal
+      punctuation (`[.!?]+`), so an ellipsis '...' counts once, not three
+      times (Raffel et al. don't publish their sentence splitter; a
+      run-count is the closest shuffle-free convention).
+
+    Published rules intentionally NOT implemented here: the "bad words"
+    page filter (needs the external List-of-Dirty-Naughty-etc wordlist),
+    langdetect English-only filtering (see lang_id for the engine's
+    language-ID surface), and three-sentence-span dedup (that is corpus-
+    level deduplication — covered by the operators.dedup family, not a
+    per-document scalar rule).
 
     Adds clean_text, n_sentences, keep_c4; never drops rows itself (the
     caller filters on keep_c4) so audits can inspect rejected pages."""
@@ -325,10 +341,12 @@ def c4_clean(df: DataFrame, col: str = "text") -> DataFrame:
     lines = F.split(c, "\n")
     kept = F.filter(
         lines,
-        lambda x: x.rlike('[.!?"]\\s*$') & ~F.lower(x).contains("javascript"),
+        lambda x: x.rlike('[.!?"]\\s*$')
+        & (F.size(F.split(F.trim(x), " +")) >= 3)
+        & ~F.lower(x).contains("javascript"),
     )
     clean = F.array_join(kept, "\n")
-    n_sent = F.regexp_count(clean, F.lit("[.!?]"))
+    n_sent = F.regexp_count(clean, F.lit("[.!?]+"))
     keep = (
         (n_sent >= F.lit(5))
         & ~F.lower(c).contains("lorem ipsum")

@@ -48,6 +48,7 @@ def heavy_hitters(
     key_cols: list[str],
     k: int = 10,
     width: int = 4096,
+    return_local: bool = True,
 ) -> DataFrame:
     """EXACT top-k keys by count over ultra-high-cardinality key spaces,
     without shuffling the full distinct-key set.
@@ -71,7 +72,14 @@ def heavy_hitters(
     distinct key) OR the k-th recounted count exceeds N/(width+1) (no
     missed key can outrank it). Otherwise raises ValueError with the
     width that would have sufficed — no silently-approximate results.
-    Returns a k-row local DataFrame (the guard needs the values anyway)."""
+
+    The guard must materialize the k answer rows either way; by default
+    they come back as a k-row local DataFrame. Callers that chain further
+    Spark operations pass `return_local=False` to get the verified pass-2
+    PLAN instead, skipping the collect→createDataFrame round-trip — note a
+    downstream action then re-executes pass 2 (one filtered fact scan +
+    candidate-sized agg; pass 1's summaries stay pinned by compute_once),
+    so prefer the default when the k rows are the final answer."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     from .dedup import compute_once
@@ -146,4 +154,6 @@ def heavy_hitters(
             f"key could outrank it. Re-run with width > "
             f"{int(n_total / kth) if kth else width * 2} or use a full groupBy."
         )
+    if not return_local:
+        return top
     return df.sparkSession.createDataFrame(rows, top.schema)

@@ -290,17 +290,29 @@ def compact_salted_catalogs(
     return out
 
 
-def _latest_generation(base: str) -> int | None:
+def _latest_generation(spark: SparkSession, base: str) -> int | None:
     """Highest N for which `base/gen=N` exists, or None if no generation has
     been started yet. Generations are plain subdirectories in Hive partition
     syntax so the union of all sink generations reads back as ONE partitioned
-    parquet table with a `gen` column."""
-    import os
+    parquet table with a `gen` column.
+
+    Resolved through the Hadoop FileSystem API (not os.listdir) so an
+    HDFS/S3/abfs `base_checkpoint` enumerates generations exactly like a
+    local path — a remote root silently listing as empty would restart the
+    stream at gen=0, dropping the compacted seed catalogs AND colliding
+    with the existing remote gen=0 checkpoint."""
     import re
 
-    if not os.path.isdir(base):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return None
-    gens = [int(m.group(1)) for d in os.listdir(base) if (m := re.fullmatch(r"gen=(\d+)", d))]
+    gens = [
+        int(m.group(1))
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and (m := re.fullmatch(r"gen=(\d+)", st.getPath().getName()))
+    ]
     return max(gens) if gens else None
 
 
@@ -336,11 +348,23 @@ def compact_and_restart(
     so pointing the restarted stream at the ORIGINAL input directory would
     re-process (and re-mine) everything; point it at the new data only.
     Sinks union trivially: `spark.read.parquet(base_out)` reads every
-    generation as one table with a `gen` partition column."""
+    generation as one table with a `gen` partition column.
+
+    Cadence (runbook): trigger a compaction restart when the salted
+    catalog count drifts well above the unsalted ideal — i.e. when
+    `sum(len(cat) for cat in read_online_state(...).values())` exceeds
+    ~1.5× the post-compaction count of the previous generation (each salt
+    re-discovers popular templates, so drift grows with template churn) —
+    or on a coarse wall-clock schedule (daily/weekly) when state inspection
+    is inconvenient. Compaction cost is driver-side and proportional to the
+    catalog count (thousands of templates, not events), so erring frequent
+    is cheap; the real cost of a restart is re-reading no data at all —
+    only the requirement that the new generation's `stream_df` point at new
+    input (see above)."""
     import os
 
     cfg = cfg or PipelineConfig()
-    last = _latest_generation(base_checkpoint)
+    last = _latest_generation(spark, base_checkpoint)
     if last is None:
         gen, seeds = 0, None
     else:

@@ -641,6 +641,27 @@ def test_repetition_stats_match_bruteforce(spark):
         assert got[i] == want, (i, t, got[i], want)
 
 
+def test_top_2gram_tie_break_convention(spark):
+    """Rae et al. leave the tie-break among equally-frequent top 2-grams
+    unspecified; this engine's documented convention — the lexicographically
+    LARGEST tied gram wins — is pinned here on corpora where tied grams have
+    DIFFERENT lengths (the only case where the choice changes the metric)."""
+    from log_analysis_ai_spark.functions.text import repetition_stats
+
+    rows = [
+        (0, "aa bb cc aa bb cc"),  # 'aa bb'x2, 'bb cc'x2, 'cc aa'x1 → tie
+        (1, "q w q w"),            # 'q w'x2, 'w q'x1 → unique max
+        (2, "longword x longword x"),  # 'longword x'x2 vs 'x longword'x1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.top_2gram_char_frac for r in repetition_stats(df).collect()}
+    # doc0: tied at 2 occurrences; lexicographically largest of
+    # {'aa bb','bb cc'} is 'bb cc' (len 5) → 2*5/17
+    assert abs(got[0] - 2 * 5 / len(rows[0][1])) < 1e-12
+    assert abs(got[1] - 2 * 3 / len(rows[1][1])) < 1e-12
+    assert abs(got[2] - 2 * 10 / len(rows[2][1])) < 1e-12
+
+
 def test_gopher_repetition_filter_flags(spark):
     from log_analysis_ai_spark.functions.text import gopher_repetition_filter
 
@@ -715,10 +736,12 @@ def test_c4_clean_matches_bruteforce(spark):
 
     rows = [
         (0, 'Good sentence one. Another fine line!\nno punctuation here\nUses javascript today.\nKept line?\n"Quoted."'),
-        (1, "One. Two. Three. Four. Five. Six."),
-        (2, "Lorem Ipsum dolor sit amet. " * 6),
-        (3, "code = { x: 1 }. Valid sentence. More. And more. Again. Final."),
-        (4, "Too short. Really."),
+        (1, "One two three. Four five six. Seven eight nine. Ten eleven twelve. So many words. The end here."),
+        (2, "Lorem Ipsum dolor sit amet oh yes. " * 6),
+        (3, "code = { x: 1 }. Valid sentence here. More words now. And more again. Again some more. Final full stop."),
+        (4, "Too short here. Really truly."),
+        (5, "Wait for it... then it happened! A cliffhanger ensued... More prose followed. Then some more. And an end."),
+        (6, "ok.\nJust two.\nThree words kept. Plus more here. Another one kept. Final line stays. Yes truly kept."),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -729,10 +752,17 @@ def test_c4_clean_matches_bruteforce(spark):
         kept = [
             x
             for x in t.split("\n")
-            if re.search(r'[.!?"]\s*$', x) and "javascript" not in x.lower()
+            if re.search(r'[.!?"]\s*$', x)
+            and len(re.split(r" +", x.strip(" "))) >= 3
+            and "javascript" not in x.lower()
         ]
         clean = "\n".join(kept)
-        ns = len(re.findall(r"[.!?]", clean))
+        # a sentence is a RUN of terminal punctuation: '...' counts once
+        ns = len(re.findall(r"[.!?]+", clean))
         keep = ns >= 5 and "lorem ipsum" not in t.lower() and "{" not in t
         assert got[i] == (clean, ns, keep), (i, got[i], (clean, ns, keep))
     assert got[1][2] and not got[2][2] and not got[3][2] and not got[4][2]
+    # ellipses: doc 5 has 6 sentence runs (two of them '...'), keepable
+    assert got[5][1] == 6 and got[5][2]
+    # <3-word lines dropped: doc 6 keeps only the last line's 5 sentences
+    assert got[6][0].startswith("Three words kept.") and got[6][1] == 5 and got[6][2]

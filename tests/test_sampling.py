@@ -207,6 +207,22 @@ def test_heavy_hitters_no_eviction_short_result_is_exact(spark):
     assert got == [("a", 5), ("b", 3), ("c", 1)]
 
 
+def test_heavy_hitters_return_local_false_same_answer_chainable(spark):
+    """`return_local=False` hands back the verified distributed pass-2 plan:
+    identical rows to the default path, chainable with further Spark ops
+    (no collect→createDataFrame round-trip), guard still enforced."""
+    from log_analysis_ai_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 5 + [("c",)] * 2 + [("d",)], "key string"
+    ).repartition(4)
+    local = heavy_hitters(df, ["key"], k=3, width=64)
+    plan = heavy_hitters(df, ["key"], k=3, width=64, return_local=False)
+    assert [tuple(r) for r in plan.collect()] == [tuple(r) for r in local.collect()]
+    # chainable: a further Spark op on the returned plan works
+    assert plan.filter(F.col("n") >= 5).count() == 2
+
+
 def test_heavy_hitters_counts_null_keys(spark):
     """Genuine null keys are a real group (Spark groupBy semantics) and
     must survive the candidate semi-join (null-safe equality, not plain

@@ -257,6 +257,44 @@ def test_grok_library_patterns_match_and_compile_in_both_dialects():
     assert got["response"] == "200" and got["bytes"] == "2326"
 
 
+def test_grok_named_composite_field_order_and_malformed_refs():
+    """Naming a composite instance (`%{COMMONAPACHELOG:line}`) is the
+    standard grok idiom: the OUTER field must take the group slot of its own
+    `(` — which precedes every nested named group — so fields order matches
+    capture-paren order. Also: a malformed reference (bad cast name, illegal
+    field char) must raise instead of landing in the regex as literal text."""
+    import re
+
+    import pytest
+
+    from log_analysis_ai_spark.functions.grok import grok_compile
+
+    flat, fields = grok_compile("%{COMMONAPACHELOG:line}")
+    names = [f for f, _ in fields]
+    assert names[0] == "line" and "clientip" in names and "response" in names
+    line = '203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] "GET /a_b.gif HTTP/1.0" 200 2326'
+    got = dict(zip(names, re.search(flat, line).groups()))
+    assert got["line"] == line
+    assert got["clientip"] == "203.0.113.9" and got["ident"] == "-"
+    assert got["auth"] == "frank" and got["verb"] == "GET"
+    assert got["request"] == "/a_b.gif" and got["httpversion"] == "1.0"
+    assert got["response"] == "200" and got["bytes"] == "2326"
+
+    # nested-inside-nested: custom composite wrapping a library composite
+    flat2, f2 = grok_compile(
+        "%{REQ:req} -> %{INT:rc:int}",
+        custom={"REQ": r"%{WORD:verb} %{URIPATH:path}"},
+    )
+    assert [f for f, _ in f2] == [("req"), ("verb"), ("path"), ("rc")]
+    m = re.fullmatch(flat2, "GET /api/users -> 200")
+    assert m.groups() == ("GET /api/users", "GET", "/api/users", "200")
+
+    with pytest.raises(ValueError, match="unparsable grok reference"):
+        grok_compile("%{INT:x:integer}")  # bad cast name
+    with pytest.raises(ValueError, match="unparsable grok reference"):
+        grok_compile("%{INT:ba!d}")  # illegal field character
+
+
 def test_grok_parse_typed_fields_and_valid_contract(spark):
     """grok_parse end-to-end on Spark: typed casts applied, unmatched rows
     get _valid=false and NULL fields, and the Spark (Java-regex) extraction
