@@ -717,6 +717,43 @@ def _docs_c4_clean(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _docs_c4_span_dedup(spark, sf_dir):
+    """C4's corpus-level 3-sentence-span dedup (Raffel et al. 2020 §2.2,
+    'discarded all but one of any three-sentence span occurring more than
+    once') — operators/dedup.c4_span_dedup. Sentence structure is planted
+    over the punctuation-free documents text: one unique lead sentence per
+    doc, a shared Alpha block on doc_id%4, a shared Beta block on doc_id%6
+    (%12 docs carry both, creating cross-block spans), and an unterminated
+    tail fragment from the original text that must survive verbatim.
+    Exact string semantics — hash-oracled."""
+    from log_analysis_ai_spark.operators.dedup import c4_span_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Unique lead "),
+            F.col("doc_id").cast("string"),
+            F.lit(". "),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("Alpha span one. Alpha span two! Alpha span three? "),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit("Beta span one. Beta span two. Beta span three. "),
+            ).otherwise(F.lit("")),
+            F.lit("tail "),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return (
+        c4_span_dedup(d)
+        .select("doc_id", "clean_text", "n_removed_sentences")
+        .orderBy("doc_id")
+    )
+
+
 def _logfmt_roundtrip(spark, sf_dir):
     from log_analysis_ai_spark.sources import parse_logfmt
 
@@ -1583,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": _orders_cube,
         "docs_quality": _docs_quality,
         "docs_fingerprint": _docs_fingerprint,
+        "docs_c4_span_dedup": _docs_c4_span_dedup,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
         # rows-only (no SQL oracle — LSH banding recall is approximate by
@@ -2020,6 +2058,52 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(text), 'lorem ipsum')
                     AND NOT contains(text, '{')) AS keep_c4
             FROM m ORDER BY doc_id
+        """,
+        "docs_c4_span_dedup": """
+            WITH sdoc AS (
+              SELECT doc_id,
+                     'Unique lead ' || CAST(doc_id AS VARCHAR) || '. '
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN 'Alpha span one. Alpha span two! Alpha span three? '
+                             ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0
+                             THEN 'Beta span one. Beta span two. Beta span three. '
+                             ELSE '' END
+                     || 'tail ' || substring(text, 1, 40) AS text
+              FROM documents
+            ), s AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents
+              FROM sdoc
+            ), sp AS (
+              -- overlapping 3-sentence spans; 1-based inclusive slice
+              -- sents[i:i+2] = 3 elements, exact concatenation (no sep)
+              SELECT doc_id, i - 1 AS si, array_to_string(sents[i:i+2], '') AS span
+              FROM s, unnest(range(1, greatest(len(sents) - 2, 0) + 1)) AS t(i)
+            ), r AS (
+              SELECT doc_id, si,
+                     row_number() OVER (PARTITION BY span ORDER BY doc_id, si) AS rn
+              FROM sp
+            ), rem AS (
+              -- every sentence of a NON-first duplicate occurrence
+              SELECT DISTINCT doc_id, si + o AS ri
+              FROM r, unnest([0, 1, 2]) AS t(o) WHERE rn > 1
+            ), remset AS (
+              SELECT doc_id, list(ri) AS removed FROM rem GROUP BY doc_id
+            ), j AS (
+              SELECT s.doc_id, s.text, s.sents, remset.removed,
+                     COALESCE(list_sum(list_transform(s.sents, x -> length(x))), 0) AS sc
+              FROM s LEFT JOIN remset ON s.doc_id = remset.doc_id
+            )
+            SELECT doc_id,
+                   COALESCE(array_to_string(list_transform(
+                     list_filter(range(1, len(sents) + 1),
+                                 i -> removed IS NULL
+                                      OR NOT list_contains(removed, i - 1)),
+                     i -> sents[i]), ''), '')
+                   || substring(text, CAST(sc AS INT) + 1) AS clean_text,
+                   CAST(COALESCE(len(removed), 0) AS INT) AS n_removed_sentences
+            FROM j ORDER BY doc_id
         """,
         "docs_gopher_quality": """
             WITH uni AS (

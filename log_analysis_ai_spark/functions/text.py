@@ -331,9 +331,9 @@ def c4_clean(df: DataFrame, col: str = "text") -> DataFrame:
     Published rules intentionally NOT implemented here: the "bad words"
     page filter (needs the external List-of-Dirty-Naughty-etc wordlist),
     langdetect English-only filtering (see lang_id for the engine's
-    language-ID surface), and three-sentence-span dedup (that is corpus-
-    level deduplication — covered by the operators.dedup family, not a
-    per-document scalar rule).
+    language-ID surface), and three-sentence-span dedup (corpus-level
+    deduplication, not a per-document scalar rule — implemented as
+    operators.dedup.c4_span_dedup).
 
     Adds clean_text, n_sentences, keep_c4; never drops rows itself (the
     caller filters on keep_c4) so audits can inspect rejected pages."""

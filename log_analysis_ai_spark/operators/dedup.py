@@ -600,6 +600,93 @@ def simhash_near_dups(
     )
 
 
+def c4_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_sentences: int = 3,
+) -> DataFrame:
+    """C4's corpus-level three-sentence-span deduplication (Raffel et al.
+    2020 §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set") — the rule the per-document
+    `c4_clean` recipe documents as out of its scope. Reference parity:
+    the reference has no span dedup; this implements the published rule.
+
+    Conventions (the paper specifies none of these):
+    - a sentence is a maximal `[^.!?]+[.!?]+` match — the same terminal-
+      punctuation-run convention as `c4_clean`; an unterminated tail
+      fragment is not part of any span and survives verbatim at the end
+      of `clean_text`;
+    - spans are the overlapping sliding windows of `span_sentences`
+      consecutive sentences, compared by EXACT concatenated text;
+    - the kept occurrence of a duplicated span is the globally first by
+      (id, span position); every sentence covered by any non-kept
+      occurrence is removed from its document;
+    - `clean_text` re-concatenates surviving sentences verbatim (each
+      sentence carries its own leading whitespace, so surviving adjacent
+      text is byte-identical to the original).
+
+    Scale shape: one explode of (id, span_idx, span) → ONE shuffle, the
+    window over xxhash64(span) (the span string itself is never a
+    grouping key on the wire beyond that hash's partition routing;
+    64-bit collision odds as in dedup_exact) → removed sentence-index
+    sets flow back via an id-keyed join (AQE broadcasts when the
+    duplicated-doc side is small). No pair space, no driver state.
+    Returns all original columns + clean_text + n_removed_sentences."""
+    sent_re = r"[^.!?]+[.!?]+"
+    sents = F.regexp_extract_all(F.col(text_col), F.lit(sent_re), F.lit(0))
+    n_spans = F.size(sents) - F.lit(span_sentences - 1)
+    # sequence(1, 0) would count DOWN in Spark — clamp then filter instead
+    idxs = F.filter(
+        F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))), lambda i: i <= n_spans
+    )
+    spans = F.transform(
+        idxs,
+        lambda i: F.struct(
+            (i - 1).alias("si"),
+            F.concat_ws("", F.slice(sents, i, span_sentences)).alias("sp"),
+        ),
+    )
+
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(spans).alias("_s")).select(
+        "_id", F.col("_s.si").alias("_si"), F.col("_s.sp").alias("_sp")
+    )
+    w = Window.partitionBy(F.xxhash64("_sp")).orderBy("_id", "_si")
+    removed = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_si"), F.col("_si") + F.lit(span_sentences - 1))
+            ).alias("_ri"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_ri").alias("_removed"))
+    )
+    out = df.join(removed, df[id_col] == removed["_id"], "left")
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(sents), F.lit(1))),
+        lambda i: (i <= F.size(sents))
+        & (
+            F.col("_removed").isNull()
+            | ~F.array_contains("_removed", (i - 1).cast("int"))
+        ),
+    )
+    sent_chars = F.aggregate(sents, F.lit(0), lambda a, x: a + F.length(x))
+    tail = F.col(text_col).substr(
+        sent_chars + 1, F.greatest(F.length(text_col) - sent_chars, F.lit(0))
+    )
+    return out.select(
+        *[df[c] for c in df.columns],
+        F.concat(
+            F.concat_ws("", F.transform(keep_idx, lambda i: F.element_at(sents, i))),
+            tail,
+        ).alias("clean_text"),
+        F.coalesce(F.size("_removed"), F.lit(0)).alias("n_removed_sentences"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

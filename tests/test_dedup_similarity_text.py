@@ -641,6 +641,64 @@ def test_repetition_stats_match_bruteforce(spark):
         assert got[i] == want, (i, t, got[i], want)
 
 
+def test_c4_span_dedup_matches_bruteforce(spark):
+    """C4's corpus-level 3-sentence-span dedup: exact parity with a pure-
+    Python brute force under the documented conventions (first occurrence
+    by (id, position) kept; every sentence of a non-kept duplicate span
+    removed; unterminated tails untouched), on docs with cross-doc AND
+    within-doc duplicated spans, short docs, empty text, and a tail
+    fragment."""
+    import re
+
+    from log_analysis_ai_spark.operators.dedup import c4_span_dedup
+
+    shared = " The weather was fine. Everyone agreed on that! Then it rained?"
+    rows = [
+        (10, "Unique lead for ten." + shared + " A ten-only tail sentence."),
+        (20, "Twenty starts differently here." + shared),
+        # within-doc duplicate span (identical INCLUDING each sentence's
+        # leading space, which is part of the exact-text comparison)
+        (30, "Intro line. Alpha one. Alpha two! Alpha three? filler. Alpha one. Alpha two! Alpha three?"),
+        (40, "Too short. Really."),
+        (50, "Only fragment without terminal punctuation"),
+        (60, ""),
+        (70, "Omega one. Omega two. Omega three. Omega four. trailing fragment"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_sentences)
+        for r in c4_span_dedup(df).collect()
+    }
+
+    def sents_of(t):
+        return re.findall(r"[^.!?]+[.!?]+", t)
+
+    spans = {}
+    for did, t in rows:
+        s = sents_of(t)
+        for i in range(max(len(s) - 2, 0)):
+            spans.setdefault("".join(s[i : i + 3]), []).append((did, i))
+    removed = {}
+    for occ in spans.values():
+        for did, i in sorted(occ)[1:]:
+            removed.setdefault(did, set()).update((i, i + 1, i + 2))
+    for did, t in rows:
+        s = sents_of(t)
+        rem = removed.get(did, set())
+        tail = t[sum(len(x) for x in s):]
+        want = ("".join(x for j, x in enumerate(s) if j not in rem) + tail, len(rem))
+        assert got[did] == want, (did, got[did], want)
+    # the shared span was removed from doc 20 (10 is globally first)
+    assert got[20][1] == 3 and shared not in got[20][0]
+    assert got[10][1] == 0
+    # within-doc repeat: second occurrence removed from doc 30
+    assert got[30][1] == 3
+    # short/fragment/empty docs untouched — tail fragments survive verbatim
+    assert got[40] == ("Too short. Really.", 0) and got[60] == ("", 0)
+    assert got[50] == ("Only fragment without terminal punctuation", 0)
+    assert got[70] == (rows[6][1], 0)
+
+
 def test_top_2gram_tie_break_convention(spark):
     """Rae et al. leave the tie-break among equally-frequent top 2-grams
     unspecified; this engine's documented convention — the lexicographically
