@@ -699,6 +699,26 @@ def test_c4_span_dedup_matches_bruteforce(spark):
     assert got[70] == (rows[6][1], 0)
 
 
+def test_c4_span_dedup_plan_shape(spark):
+    """Scale pin: exactly TWO hash-partition shuffles — the window over
+    xxhash64(span) (the only corpus-sized one) and the duplicate-sized
+    groupBy(id) — plus a broadcast of the removed-index side; never a
+    cartesian product, and the window keys by the 64-bit span hash, not
+    the span string."""
+    import re
+
+    from log_analysis_ai_spark.operators.dedup import c4_span_dedup
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("One sentence. Two here. Three now. Tail "), F.col("id")).alias("text"),
+    )
+    plan = c4_span_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
+
+
 def test_top_2gram_tie_break_convention(spark):
     """Rae et al. leave the tie-break among equally-frequent top 2-grams
     unspecified; this engine's documented convention — the lexicographically
