@@ -629,34 +629,44 @@ def _docs_decontaminated(spark, sf_dir):
 
 
 def _docs_repetition_filter(spark, sf_dir):
-    """Gopher/MassiveText repetition-removal metrics + keep flag (Rae et
-    al. 2021 Table A1), computed by the shuffle-free sorted-array fold
-    (functions.text._rep_fold). Repetition planted deterministically
-    (doc_id%11: appended spam run; doc_id%7: line duplicated) so all four
-    metrics exercise both sides of their thresholds; every metric is an
-    integer ratio, so the DuckDB unnest/groupBy oracle is hash-exact."""
-    from log_analysis_ai_spark.functions.text import gopher_repetition_filter
+    """The COMPLETE Gopher/MassiveText repetition metric set + keep flag
+    (Rae et al. 2021 Table A1: dup line/para + char fractions,
+    top-{2,3,4}-gram, dup-{5..10}-gram), computed by the shuffle-free
+    sorted-array folds (functions.text._rep_fold). Repetition planted
+    deterministically (doc_id%11: appended spam run; doc_id%7: line
+    duplicated; doc_id%5: paragraph duplicated via a blank-line join) so
+    the metric families exercise both sides of their thresholds; every
+    metric is an integer ratio, so the generated DuckDB unnest/groupBy
+    oracle (_repetition_oracle_sql) is hash-exact."""
+    from log_analysis_ai_spark.functions.text import (
+        GOPHER_REPETITION_THRESHOLDS,
+        gopher_repetition_filter,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    d = d.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 11 == 0,
-            F.concat("text", F.lit(" spam spam spam spam spam")),
-        ).otherwise(F.col("text")),
-    ).withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 7 == 0, F.concat("text", F.lit("\n"), "text")
-        ).otherwise(F.col("text")),
+    d = (
+        d.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat("text", F.lit(" spam spam spam spam spam")),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat("text", F.lit("\n"), "text")
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit("\n\n"), "text")
+            ).otherwise(F.col("text")),
+        )
     )
     return gopher_repetition_filter(d).select(
-        "doc_id",
-        "dup_line_frac",
-        "dup_line_char_frac",
-        "top_2gram_char_frac",
-        "dup_5gram_char_frac",
-        "keep_repetition",
+        "doc_id", *GOPHER_REPETITION_THRESHOLDS, "keep_repetition"
     ).orderBy("doc_id")
 
 
@@ -1665,6 +1675,117 @@ def _langid_sql_expr() -> str:
     return expr
 
 
+def _repetition_oracle_sql() -> str:
+    """Oracle for _docs_repetition_filter: the COMPLETE Gopher Table A1
+    metric set, generated from the same GOPHER_* parameterization the
+    engine uses (functions/text.py) so the two can never drift. Grams via
+    the unnest/groupBy formulation (the oracle may shuffle per gram; only
+    the ENGINE must be shuffle-free)."""
+    from log_analysis_ai_spark.functions.text import (
+        GOPHER_DUP_NGRAMS,
+        GOPHER_REPETITION_THRESHOLDS,
+        GOPHER_TOP_NGRAMS,
+    )
+
+    ctes = ["""uni0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN text || ' spam spam spam spam spam'
+                          ELSE text END AS text
+              FROM documents
+            )""", """uni1 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || chr(10) || text
+                          ELSE text END AS text
+              FROM uni0
+            )""", """uni AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || chr(10) || chr(10) || text
+                          ELSE text END AS text
+              FROM uni1
+            )""", """tok AS (
+              SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM uni
+            )"""]
+    joins, sels = [], []
+    for u, split in (
+        ("line", "string_split(text, chr(10))"),
+        ("para", "string_split_regex(text, chr(10) || '{2,}')"),
+    ):
+        ctes.append(f"""{u}s AS (
+              SELECT doc_id, unnest({split}) AS x FROM uni
+            )""")
+        ctes.append(f"""{u}c AS (
+              SELECT doc_id, x, count(*) AS cnt FROM {u}s GROUP BY 1, 2
+            )""")
+        ctes.append(f"""{u}m AS (
+              SELECT doc_id, SUM(cnt) AS nu,
+                     SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dupn,
+                     SUM(CASE WHEN cnt > 1 THEN cnt * len(x) ELSE 0 END) AS dupch
+              FROM {u}c GROUP BY 1
+            )""")
+        joins.append(f"LEFT JOIN {u}m USING (doc_id)")
+        sels.append(
+            f"COALESCE(CAST({u}m.dupn AS DOUBLE) / {u}m.nu, 0) AS dup_{u}_frac"
+        )
+        sels.append(
+            f"COALESCE(CAST({u}m.dupch AS DOUBLE) / NULLIF(len(u.text), 0), 0)"
+            f" AS dup_{u}_char_frac"
+        )
+    for n in GOPHER_TOP_NGRAMS + GOPHER_DUP_NGRAMS:
+        ctes.append(f"""g{n} AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(len(t) - {n - 1}, 1) + 1),
+                                           i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g
+              FROM tok
+            )""")
+        ctes.append(f"""g{n}c AS (
+              SELECT doc_id, g, count(*) AS cnt FROM g{n} GROUP BY 1, 2
+            )""")
+        if n in GOPHER_TOP_NGRAMS:
+            ctes.append(f"""g{n}m AS (
+              SELECT doc_id, cnt, g FROM (
+                SELECT doc_id, cnt, g,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g DESC) AS rn
+                FROM g{n}c) WHERE rn = 1
+            )""")
+            sels.append(
+                f"COALESCE(CAST(g{n}m.cnt * len(g{n}m.g) AS DOUBLE)"
+                f" / NULLIF(len(u.text), 0), 0) AS top_{n}gram_char_frac"
+            )
+        else:
+            ctes.append(f"""g{n}m AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) AS dupch
+              FROM g{n}c GROUP BY 1
+            )""")
+            sels.append(
+                f"COALESCE(CAST(g{n}m.dupch AS DOUBLE)"
+                f" / NULLIF(len(u.text), 0), 0) AS dup_{n}gram_char_frac"
+            )
+        joins.append(f"LEFT JOIN g{n}m USING (doc_id)")
+    keep = " AND ".join(
+        f"{m} <= {t}" for m, t in GOPHER_REPETITION_THRESHOLDS.items()
+    )
+    metric_names = ",\n                   ".join(GOPHER_REPETITION_THRESHOLDS)
+    cte_sql = ", ".join(ctes)
+    sel_sql = ",\n                     ".join(sels)
+    join_sql = "\n              ".join(joins)
+    return f"""
+            WITH {cte_sql}, m AS (
+              SELECT u.doc_id,
+                     {sel_sql}
+              FROM uni u
+              {join_sql}
+            )
+            SELECT doc_id, {metric_names},
+                   ({keep}) AS keep_repetition
+            FROM m ORDER BY doc_id
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -2149,72 +2270,7 @@ def oracle_sql() -> dict[str, str]:
                     AND stopword_count >= 2) AS keep_quality
             FROM q ORDER BY doc_id
         """,
-        "docs_repetition_filter": """
-            WITH uni0 AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 11 = 0
-                          THEN text || ' spam spam spam spam spam'
-                          ELSE text END AS text
-              FROM documents
-            ), uni AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 7 = 0
-                          THEN text || chr(10) || text
-                          ELSE text END AS text
-              FROM uni0
-            ), l AS (
-              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM uni
-            ), lc AS (
-              SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2
-            ), lm AS (
-              SELECT doc_id, SUM(cnt) AS nl,
-                     SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dupn,
-                     SUM(CASE WHEN cnt > 1 THEN cnt * len(line) ELSE 0 END) AS dupch
-              FROM lc GROUP BY 1
-            ), tok AS (
-              SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM uni
-            ), g2 AS (
-              SELECT doc_id,
-                     unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-                                           i -> array_to_string(t[i:i+1], ' '))) AS g
-              FROM tok
-            ), g2c AS (
-              SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2
-            ), g2t AS (
-              SELECT doc_id, cnt, g FROM (
-                SELECT doc_id, cnt, g,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY cnt DESC, g DESC) AS rn
-                FROM g2c) WHERE rn = 1
-            ), g5 AS (
-              SELECT doc_id,
-                     unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
-                                           i -> array_to_string(t[i:i+4], ' '))) AS g
-              FROM tok
-            ), g5c AS (
-              SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2
-            ), g5m AS (
-              SELECT doc_id,
-                     SUM(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) AS dupch
-              FROM g5c GROUP BY 1
-            ), m AS (
-              SELECT u.doc_id,
-                     COALESCE(CAST(lm.dupn AS DOUBLE) / lm.nl, 0) AS dup_line_frac,
-                     COALESCE(CAST(lm.dupch AS DOUBLE) / NULLIF(len(u.text), 0), 0) AS dup_line_char_frac,
-                     COALESCE(CAST(g2t.cnt * len(g2t.g) AS DOUBLE) / NULLIF(len(u.text), 0), 0) AS top_2gram_char_frac,
-                     COALESCE(CAST(g5m.dupch AS DOUBLE) / NULLIF(len(u.text), 0), 0) AS dup_5gram_char_frac
-              FROM uni u
-              LEFT JOIN lm USING (doc_id)
-              LEFT JOIN g2t USING (doc_id)
-              LEFT JOIN g5m USING (doc_id)
-            )
-            SELECT doc_id, dup_line_frac, dup_line_char_frac,
-                   top_2gram_char_frac, dup_5gram_char_frac,
-                   (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
-                    AND top_2gram_char_frac <= 0.20
-                    AND dup_5gram_char_frac <= 0.15) AS keep_repetition
-            FROM m ORDER BY doc_id
-        """,
+        "docs_repetition_filter": _repetition_oracle_sql(),
         "docs_decontaminated": """
             WITH tok AS (
               SELECT doc_id, string_split_regex(lower(text), ' +') AS t FROM documents

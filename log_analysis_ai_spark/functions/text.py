@@ -164,64 +164,87 @@ def _rep_fold(sorted_arr):
     )
 
 
-def repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
-    """Gopher/MassiveText repetition metrics per document (Rae et al. 2021,
-    "Scaling Language Models", Table A1 — the published pretraining
-    repetition-removal rules), computed entirely JVM-side (see _rep_fold):
+# the paper's full metric parameterization: which n-grams get the
+# "most frequent gram" treatment vs the "all duplicated grams" treatment
+GOPHER_TOP_NGRAMS = (2, 3, 4)
+GOPHER_DUP_NGRAMS = (5, 6, 7, 8, 9, 10)
 
-    - dup_line_frac: lines whose exact text occurs more than once
-      (counted with multiplicity) / total lines;
-    - dup_line_char_frac: characters in those lines / length(text);
-    - top_2gram_char_frac: occurrences x length of the most frequent word
-      2-gram (lowercased; ties -> lexicographically largest) / length(text);
-      NOTE Rae et al. do not specify a tie-break when several 2-grams share
-      the max count, so cross-implementation numbers can differ on tied
-      corpora when the tied grams have different lengths — this engine's
-      convention (lexicographically LARGEST winner, shared by the oracle
-      SQL and pinned by a tied-corpus test) is one valid reading;
-    - dup_5gram_char_frac: characters across all duplicated word 5-grams
-      / length(text).
+
+def repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """The COMPLETE Gopher/MassiveText repetition metric set per document
+    (Rae et al. 2021, "Scaling Language Models", Table A1 — the published
+    pretraining repetition-removal rules), computed entirely JVM-side
+    (see _rep_fold; one sorted-array fold per metric family, no shuffle,
+    no explode):
+
+    - dup_line_frac / dup_para_frac: lines (split on '\\n') / paragraphs
+      (split on runs of >=2 newlines) whose exact text occurs more than
+      once (counted with multiplicity) / total lines (paragraphs);
+    - dup_line_char_frac / dup_para_char_frac: characters in those lines
+      (paragraphs) / length(text);
+    - top_{2,3,4}gram_char_frac: occurrences x length of the most frequent
+      word n-gram (lowercased; ties -> lexicographically largest) /
+      length(text); NOTE Rae et al. do not specify a tie-break when
+      several n-grams share the max count, so cross-implementation numbers
+      can differ on tied corpora when the tied grams have different
+      lengths — this engine's convention (lexicographically LARGEST
+      winner, shared by the oracle SQL and pinned by a tied-corpus test)
+      is one valid reading;
+    - dup_{5..10}gram_char_frac: characters across all duplicated word
+      n-grams (counted with multiplicity) / length(text).
 
     Empty/degenerate texts score 0 (never div-by-zero)."""
     from ..operators.dedup import word_shingles
 
     c = F.col(col)
     tlen = F.nullif(F.length(c), F.lit(0)).cast("double")
-    lines = F.split(c, "\n")
-    lf = _rep_fold(F.array_sort(lines))
-    g2 = _rep_fold(F.array_sort(word_shingles(col, 2)))
-    g5 = _rep_fold(F.array_sort(word_shingles(col, 5)))
     zero = F.lit(0.0)
-    return (
-        df.withColumn("_lf", lf)
-        .withColumn("_g2", g2)
-        .withColumn("_g5", g5)
-        .withColumn(
-            "dup_line_frac",
-            F.coalesce(F.col("_lf.dup_count") / F.size(lines), zero),
+    lines = F.split(c, "\n")
+    paras = F.split(c, "\n{2,}")
+    out = df.withColumn("_lf", _rep_fold(F.array_sort(lines))).withColumn(
+        "_pf", _rep_fold(F.array_sort(paras))
+    )
+    for n in GOPHER_TOP_NGRAMS + GOPHER_DUP_NGRAMS:
+        out = out.withColumn(f"_g{n}", _rep_fold(F.array_sort(word_shingles(col, n))))
+    for name, arr in (("line", lines), ("para", paras)):
+        pre = "_lf" if name == "line" else "_pf"
+        out = out.withColumn(
+            f"dup_{name}_frac",
+            F.coalesce(F.col(f"{pre}.dup_count") / F.size(arr), zero),
+        ).withColumn(
+            f"dup_{name}_char_frac",
+            F.coalesce(F.col(f"{pre}.dup_chars") / tlen, zero),
         )
-        .withColumn(
-            "dup_line_char_frac", F.coalesce(F.col("_lf.dup_chars") / tlen, zero)
-        )
-        .withColumn(
-            "top_2gram_char_frac",
+    for n in GOPHER_TOP_NGRAMS:
+        out = out.withColumn(
+            f"top_{n}gram_char_frac",
             F.coalesce(
-                F.col("_g2.top_run") * F.length("_g2.top_gram") / tlen, zero
+                F.col(f"_g{n}.top_run") * F.length(f"_g{n}.top_gram") / tlen, zero
             ),
         )
-        .withColumn(
-            "dup_5gram_char_frac", F.coalesce(F.col("_g5.dup_chars") / tlen, zero)
+    for n in GOPHER_DUP_NGRAMS:
+        out = out.withColumn(
+            f"dup_{n}gram_char_frac",
+            F.coalesce(F.col(f"_g{n}.dup_chars") / tlen, zero),
         )
-        .drop("_lf", "_g2", "_g5")
-    )
+    return out.drop("_lf", "_pf", *[f"_g{n}" for n in GOPHER_TOP_NGRAMS + GOPHER_DUP_NGRAMS])
 
 
-# Rae et al. 2021 Table A1 thresholds for the metrics implemented above
+# Rae et al. 2021 Table A1 thresholds — the complete published set
 GOPHER_REPETITION_THRESHOLDS = {
     "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
     "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
     "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
     "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
 }
 
 

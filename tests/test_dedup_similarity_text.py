@@ -578,12 +578,18 @@ def test_decontaminate_drops_overlapping_docs(spark):
 
 
 def test_repetition_stats_match_bruteforce(spark):
-    """The sorted-array fold must reproduce brute-force repetition metrics
-    (dup-line / dup-line-char / top-2gram-char / dup-5gram-char fractions)
-    on crafted and random docs."""
+    """The sorted-array folds must reproduce brute-force values for the
+    COMPLETE Gopher Table A1 repetition metric set (dup line/para + char
+    fractions, top-{2,3,4}-gram, dup-{5..10}-gram) on crafted and random
+    docs, including paragraph structure (blank-line splits)."""
     import random
+    import re
 
-    from log_analysis_ai_spark.functions.text import repetition_stats
+    from log_analysis_ai_spark.functions.text import (
+        GOPHER_DUP_NGRAMS,
+        GOPHER_TOP_NGRAMS,
+        repetition_stats,
+    )
 
     rng = random.Random(5)
     vocab = ["alpha", "beta", "gamma", "delta", "eps"]
@@ -593,29 +599,31 @@ def test_repetition_stats_match_bruteforce(spark):
         (2, "unique line one\nsecond line here"),    # clean
         (3, ""),                                     # empty
         (4, "w w w w w w w w w w"),                  # one token repeated
+        (5, "para one text\n\npara one text\n\npara two"),  # dup paragraphs
+        (6, "p q r s t u v w x y z " * 3),           # long-gram repeats
     ]
-    for i in range(5, 25):
+    for i in range(7, 27):
         n = rng.randint(1, 30)
         txt = " ".join(rng.choice(vocab) for _ in range(n))
         if i % 3 == 0:
             txt = txt + "\n" + txt
+        if i % 4 == 0:
+            txt = txt + "\n\n" + txt
         rows.append((i, txt))
+    metrics = (
+        ["dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in GOPHER_TOP_NGRAMS]
+        + [f"dup_{n}gram_char_frac" for n in GOPHER_DUP_NGRAMS]
+    )
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
-        r.doc_id: (
-            round(r.dup_line_frac, 9),
-            round(r.dup_line_char_frac, 9),
-            round(r.top_2gram_char_frac, 9),
-            round(r.dup_5gram_char_frac, 9),
-        )
+        r.doc_id: tuple(round(r[m], 9) for m in metrics)
         for r in repetition_stats(df).collect()
     }
 
     def shingles(t, n):
         # word_shingles tokenizes on space runs ONLY (" +"), not all
         # whitespace — newlines stay inside tokens
-        import re
-
         toks = re.split(" +", t.lower())
         k = max(len(toks) - n + 1, 1)
         return [" ".join(toks[i : i + n]) for i in range(k)]
@@ -624,21 +632,21 @@ def test_repetition_stats_match_bruteforce(spark):
 
     for i, t in rows:
         L = len(t)
-        lines = t.split("\n")
-        lc = Counter(lines)
-        dupn = sum(c for c in lc.values() if c > 1)
-        dupch = sum(c * len(x) for x, c in lc.items() if c > 1)
-        g2 = Counter(shingles(t, 2)) if t else Counter({"": 1})
-        top = max(g2.items(), key=lambda kv: (kv[1], kv[0]))
-        g5 = Counter(shingles(t, 5)) if t else Counter({"": 1})
-        d5 = sum(c * len(g) for g, c in g5.items() if c > 1)
-        want = (
-            round(dupn / len(lines), 9),
-            round(dupch / L, 9) if L else 0.0,
-            round(top[1] * len(top[0]) / L, 9) if L else 0.0,
-            round(d5 / L, 9) if L else 0.0,
-        )
-        assert got[i] == want, (i, t, got[i], want)
+        want = []
+        for units in (t.split("\n"), re.split("\n{2,}", t)):
+            uc = Counter(units)
+            dupn = sum(c for c in uc.values() if c > 1)
+            dupch = sum(c * len(x) for x, c in uc.items() if c > 1)
+            want += [round(dupn / len(units), 9), round(dupch / L, 9) if L else 0.0]
+        for n in GOPHER_TOP_NGRAMS:
+            g = Counter(shingles(t, n)) if t else Counter({"": 1})
+            top = max(g.items(), key=lambda kv: (kv[1], kv[0]))
+            want.append(round(top[1] * len(top[0]) / L, 9) if L else 0.0)
+        for n in GOPHER_DUP_NGRAMS:
+            g = Counter(shingles(t, n)) if t else Counter({"": 1})
+            d = sum(c * len(x) for x, c in g.items() if c > 1)
+            want.append(round(d / L, 9) if L else 0.0)
+        assert got[i] == tuple(want), (i, t, got[i], tuple(want))
 
 
 def test_c4_span_dedup_matches_bruteforce(spark):
@@ -741,17 +749,30 @@ def test_top_2gram_tie_break_convention(spark):
 
 
 def test_gopher_repetition_filter_flags(spark):
+    """Full Table A1 keep flag: a clean long doc passes every one of the 13
+    bounds; heavy 2-gram repetition, duplicated paragraphs, and a repeated
+    10-gram each fail their own rule. (Short docs fail the singleton
+    top-4gram bound by construction — the paper applies these rules to
+    >=50-word pages; the clean case here is sized accordingly.)"""
     from log_analysis_ai_spark.functions.text import gopher_repetition_filter
 
+    clean = " ".join(f"word{i:02d} token{i:02d}" for i in range(20))  # 40 uniques
+    para = "same paragraph body here\n\nsame paragraph body here"
+    tengram = " ".join(f"w{i}" for i in range(10))
     df = spark.createDataFrame(
         [
-            (1, "x y x y x y x y"),  # top-2gram frac way over 0.20
-            (2, "a perfectly normal sentence with no repetition in sight today"),
+            (1, "x y x y x y x y"),        # top-2gram frac way over 0.20
+            (2, clean),
+            (3, para + "\n\nunique closing paragraph text"),  # dup_para over 0.30
+            (4, (tengram + " ") * 2 + clean),  # repeated 10-gram over 0.10
         ],
         "doc_id long, text string",
     )
-    got = {r.doc_id: r.keep_repetition for r in gopher_repetition_filter(df).collect()}
-    assert got == {1: False, 2: True}
+    out = {r.doc_id: r for r in gopher_repetition_filter(df).collect()}
+    got = {k: r.keep_repetition for k, r in out.items()}
+    assert got == {1: False, 2: True, 3: False, 4: False}
+    assert out[3].dup_para_frac > 0.30
+    assert out[4].dup_10gram_char_frac > 0.10
 
 
 def test_gopher_quality_stats_match_bruteforce(spark):
