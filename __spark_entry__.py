@@ -631,13 +631,14 @@ def _docs_decontaminated(spark, sf_dir):
 def _docs_repetition_filter(spark, sf_dir):
     """The COMPLETE Gopher/MassiveText repetition metric set + keep flag
     (Rae et al. 2021 Table A1: dup line/para + char fractions,
-    top-{2,3,4}-gram, dup-{5..10}-gram), computed by the shuffle-free
-    sorted-array folds (functions.text._rep_fold). Repetition planted
-    deterministically (doc_id%11: appended spam run; doc_id%7: line
-    duplicated; doc_id%5: paragraph duplicated via a blank-line join) so
-    the metric families exercise both sides of their thresholds; every
-    metric is an integer ratio, so the generated DuckDB unnest/groupBy
-    oracle (_repetition_oracle_sql) is hash-exact."""
+    top-{2,3,4}-gram, dup-{5..10}-gram), computed by the default Arrow
+    engine — one vectorized scan pass, no shuffle (the pure-expression
+    fold path is kept as engine="sql" and pinned bit-equal in tests).
+    Repetition planted deterministically (doc_id%11: appended spam run;
+    doc_id%7: line duplicated; doc_id%5: paragraph duplicated via a
+    blank-line join) so the metric families exercise both sides of their
+    thresholds; every metric is an integer ratio, so the generated DuckDB
+    unnest/groupBy oracle (_repetition_oracle_sql) is hash-exact."""
     from log_analysis_ai_spark.functions.text import (
         GOPHER_REPETITION_THRESHOLDS,
         gopher_repetition_filter,

@@ -610,16 +610,20 @@ def test_repetition_stats_match_bruteforce(spark):
         if i % 4 == 0:
             txt = txt + "\n\n" + txt
         rows.append((i, txt))
-    metrics = (
-        ["dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac"]
-        + [f"top_{n}gram_char_frac" for n in GOPHER_TOP_NGRAMS]
-        + [f"dup_{n}gram_char_frac" for n in GOPHER_DUP_NGRAMS]
-    )
+    from log_analysis_ai_spark.functions.text import REPETITION_METRICS as metrics
+
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r.doc_id: tuple(round(r[m], 9) for m in metrics)
         for r in repetition_stats(df).collect()
     }
+    # the two engines (Arrow vectorized pass vs pure-expression sorted
+    # folds) are independent implementations — they must agree bit-exactly
+    got_sql = {
+        r.doc_id: tuple(round(r[m], 9) for m in metrics)
+        for r in repetition_stats(df, engine="sql").collect()
+    }
+    assert got == got_sql
 
     def shingles(t, n):
         # word_shingles tokenizes on space runs ONLY (" +"), not all
