@@ -296,12 +296,23 @@ def ngram_jaccard_near_dups(
     construction, not by a lossy cap. At t=0.8 only ~20% of each doc's
     shingles are exploded. Costs: one df-count agg, one window per doc
     (shuffle on id), the prefix equi-join, and a verify join against the
-    once-materialized (compute_once) shingle-set table."""
+    once-materialized (compute_once) shingle-set table.
+
+    Shingles are xxhash64-hashed ONCE up front: every downstream stage
+    (dfreq agg, rank join, prefix equi-join, verify intersections) then
+    operates on 8-byte longs instead of multi-word strings — the theorem
+    holds for ANY consistent global order, so ranking by (df, hash)
+    instead of (df, shingle) changes which prefixes are exposed but not
+    the verified result set (64-bit collision odds as in dedup_exact;
+    measured ~2.5x end-to-end at sf0.1). The verify step computes
+    |union| as |A|+|B|-|A∩B| rather than materializing array_union."""
     df = widen_if_narrow(df)
     sh = compute_once(
         df.select(
             F.col(id_col).alias("_id"),
-            F.array_distinct(word_shingles(text_col, shingle_n)).alias("_sh"),
+            F.array_distinct(
+                F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+            ).alias("_sh"),
         ),
         caches,
     )
@@ -337,12 +348,12 @@ def ngram_jaccard_near_dups(
             sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
         )
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_i") / (F.size("sh_a") + F.size("sh_b") - F.col("_i")).cast("double"),
         )
-        .drop("sh_a", "sh_b")
+        .drop("sh_a", "sh_b", "_i")
     )
     return out.filter(F.col("jaccard") >= F.lit(threshold))
 
