@@ -578,7 +578,10 @@ def _events_heavy_hitters(spark, sf_dir):
     from log_analysis_ai_spark.operators.sketches import heavy_hitters
 
     ev = _t(spark, sf_dir, "events")
-    return heavy_hitters(ev, ["user_id"], k=10, width=512)
+    # width sized for the flattest SF the entry is run at: the guard needs
+    # kth_count > N/(width+1); sf0.1's 10th user has ~87 events over ~100k
+    # rows, so width=512 (fine at sf0.01) RAISES there — 4096 clears both
+    return heavy_hitters(ev, ["user_id"], k=10, width=4096)
 
 
 def _events_hash_split(spark, sf_dir):
