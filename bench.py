@@ -40,6 +40,8 @@ HEADLINE = [
     "docs_dedup_groups",
     "emb_topk",
     "syslog_roundtrip",
+    "docs_repetition_filter",
+    "docs_ngram_jaccard_dups",
 ]
 
 # queries whose first run is dominated by one-time whole-stage-codegen
@@ -84,6 +86,10 @@ METRIC_NOTES = [
     "code, dominate any single sample. This also closes the r6 +7.26 s "
     "delta as host noise (re-adjudicated: best-of-3 on r7 code = 20.75 s, "
     "FASTER than r5's 22.1 s).",
+    "r7: HEADLINE gained docs_repetition_filter and docs_ngram_jaccard_dups "
+    "(both optimized this round: 131->4 s and 16.6->5.9 s at sf0.1), so "
+    "`value` is not comparable with r6-and-earlier totals; per-query deltas "
+    "remain comparable for the pre-existing keys.",
 ]
 
 
