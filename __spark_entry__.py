@@ -737,8 +737,10 @@ def _docs_c4_span_dedup(spark, sf_dir):
     once') — operators/dedup.c4_span_dedup. Sentence structure is planted
     over the punctuation-free documents text: one unique lead sentence per
     doc, a shared Alpha block on doc_id%4, a shared Beta block on doc_id%6
-    (%12 docs carry both, creating cross-block spans), and an unterminated
-    tail fragment from the original text that must survive verbatim.
+    (%12 docs carry both, creating cross-block spans), an unterminated
+    tail fragment from the original text that must survive verbatim, and a
+    LEADING '...' punctuation run on doc_id%5 that precedes every sentence
+    and must also survive verbatim (the r8 head-capture fix).
     Exact string semantics — hash-oracled."""
     from log_analysis_ai_spark.operators.dedup import c4_span_dedup
 
@@ -746,6 +748,7 @@ def _docs_c4_span_dedup(spark, sf_dir):
     d = d.select(
         "doc_id",
         F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("...")).otherwise(F.lit("")),
             F.lit("Unique lead "),
             F.col("doc_id").cast("string"),
             F.lit(". "),
@@ -1605,13 +1608,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition_filter": _docs_repetition_filter,
         "docs_gopher_quality": _docs_gopher_quality,
         "docs_c4_clean": _docs_c4_clean,
+        "docs_c4_span_dedup": _docs_c4_span_dedup,
         "docs_token_stats": _docs_token_stats,
         "docs_langid": _docs_langid,
         "docs_clean_corpus": _docs_clean_corpus,
         "emb_near_dups": _emb_near_dups,
         # -- embeddings --------------------------------------------------
         "emb_topk": _emb_topk,
-        "emb_ivf_topk": _emb_ivf_topk,
         # -- headline parsers -------------------------------------------
         "syslog_roundtrip": _syslog_roundtrip,
         "grok_parse_roundtrip": _grok_parse_roundtrip,
@@ -1634,7 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": _orders_cube,
         "docs_quality": _docs_quality,
         "docs_fingerprint": _docs_fingerprint,
-        "docs_c4_span_dedup": _docs_c4_span_dedup,
+        "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
         # rows-only (no SQL oracle — LSH banding recall is approximate by
@@ -2187,7 +2190,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_c4_span_dedup": """
             WITH sdoc AS (
               SELECT doc_id,
-                     'Unique lead ' || CAST(doc_id AS VARCHAR) || '. '
+                     CASE WHEN doc_id % 5 = 0 THEN '...' ELSE '' END
+                     || 'Unique lead ' || CAST(doc_id AS VARCHAR) || '. '
                      || CASE WHEN doc_id % 4 = 0
                              THEN 'Alpha span one. Alpha span two! Alpha span three? '
                              ELSE '' END
@@ -2217,16 +2221,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, list(ri) AS removed FROM rem GROUP BY doc_id
             ), j AS (
               SELECT s.doc_id, s.text, s.sents, remset.removed,
+                     COALESCE(regexp_extract(s.text, '^[.!?]+'), '') AS head,
                      COALESCE(list_sum(list_transform(s.sents, x -> length(x))), 0) AS sc
               FROM s LEFT JOIN remset ON s.doc_id = remset.doc_id
             )
             SELECT doc_id,
-                   COALESCE(array_to_string(list_transform(
+                   head
+                   || COALESCE(array_to_string(list_transform(
                      list_filter(range(1, len(sents) + 1),
                                  i -> removed IS NULL
                                       OR NOT list_contains(removed, i - 1)),
                      i -> sents[i]), ''), '')
-                   || substring(text, CAST(sc AS INT) + 1) AS clean_text,
+                   || substring(text, CAST(length(head) + sc AS INT) + 1) AS clean_text,
                    CAST(COALESCE(len(removed), 0) AS INT) AS n_removed_sentences
             FROM j ORDER BY doc_id
         """,

@@ -625,25 +625,35 @@ def c4_span_dedup(
 
     Conventions (the paper specifies none of these):
     - a sentence is a maximal `[^.!?]+[.!?]+` match — the same terminal-
-      punctuation-run convention as `c4_clean`; an unterminated tail
-      fragment is not part of any span and survives verbatim at the end
-      of `clean_text`;
+      punctuation-run convention as `c4_clean`; a LEADING terminal-
+      punctuation run (a text starting '...') matches no sentence and
+      survives verbatim at the START of `clean_text`, and an unterminated
+      tail fragment is not part of any span and survives verbatim at the
+      END;
     - spans are the overlapping sliding windows of `span_sentences`
       consecutive sentences, compared by EXACT concatenated text;
     - the kept occurrence of a duplicated span is the globally first by
       (id, span position); every sentence covered by any non-kept
       occurrence is removed from its document;
-    - `clean_text` re-concatenates surviving sentences verbatim (each
-      sentence carries its own leading whitespace, so surviving adjacent
-      text is byte-identical to the original).
+    - `clean_text` re-concatenates head + surviving sentences + tail
+      verbatim (each sentence carries its own leading whitespace, so a
+      document with nothing removed is byte-identical to the original).
 
-    Scale shape: one explode of (id, span_idx, span) → ONE shuffle, the
-    window over xxhash64(span) (the span string itself is never a
-    grouping key on the wire beyond that hash's partition routing;
-    64-bit collision odds as in dedup_exact) → removed sentence-index
-    sets flow back via an id-keyed join (AQE broadcasts when the
-    duplicated-doc side is small). No pair space, no driver state.
-    Returns all original columns + clean_text + n_removed_sentences."""
+    Scale shape: one explode of (id, span_idx, span_text, span_hash); the
+    kept occurrence per distinct span is found by a PARTIAL-AGGREGATING
+    `groupBy(span_hash).agg(min(struct(id, si, span_text)))` — map-side
+    combine collapses a million-occurrence boilerplate span to one row
+    per input partition BEFORE the shuffle (a window/row_number keep-first
+    would serialize every occurrence of the hottest span into a single
+    task; the hot key here costs O(input partitions)). Occurrences of
+    duplicated spans are then marked by an equi-join on the hash — skewed
+    join partitions are AQE-splittable, which a window never is. The join
+    confirms `span_text == keeper's span_text`, so a 64-bit hash collision
+    can only RETAIN an extra duplicate (if the colliding span sorts first),
+    never delete unique text. Removed sentence-index sets flow back via an
+    id-keyed join (AQE broadcasts when the duplicated-doc side is small).
+    No pair space, no driver state. Returns all original columns +
+    clean_text + n_removed_sentences."""
     sent_re = r"[^.!?]+[.!?]+"
     sents = F.regexp_extract_all(F.col(text_col), F.lit(sent_re), F.lit(0))
     n_spans = F.size(sents) - F.lit(span_sentences - 1)
@@ -659,13 +669,25 @@ def c4_span_dedup(
         ),
     )
 
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(spans).alias("_s")).select(
-        "_id", F.col("_s.si").alias("_si"), F.col("_s.sp").alias("_sp")
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.explode(spans).alias("_s"))
+        .select("_id", F.col("_s.si").alias("_si"), F.col("_s.sp").alias("_sp"))
+        .withColumn("_h", F.xxhash64("_sp"))
     )
-    w = Window.partitionBy(F.xxhash64("_sp")).orderBy("_id", "_si")
+    # one keeper row per DUPLICATED span hash; min(struct) is ordered by
+    # (_id, _si) — (id, position) is unique, so _sp is carried, never compared
+    keepers = (
+        ex.groupBy("_h")
+        .agg(F.min(F.struct("_id", "_si", "_sp")).alias("_k"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_h", "_k")
+    )
     removed = (
-        ex.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
+        ex.join(keepers, "_h")
+        .filter(
+            (F.col("_sp") == F.col("_k._sp"))  # exact-text confirm (collision guard)
+            & ~((F.col("_id") == F.col("_k._id")) & (F.col("_si") == F.col("_k._si")))
+        )
         .select(
             "_id",
             F.explode(
@@ -684,13 +706,16 @@ def c4_span_dedup(
             | ~F.array_contains("_removed", (i - 1).cast("int"))
         ),
     )
+    head = F.regexp_extract(F.col(text_col), r"^[.!?]+", 0)
     sent_chars = F.aggregate(sents, F.lit(0), lambda a, x: a + F.length(x))
+    body_chars = F.length(head) + sent_chars
     tail = F.col(text_col).substr(
-        sent_chars + 1, F.greatest(F.length(text_col) - sent_chars, F.lit(0))
+        body_chars + 1, F.greatest(F.length(text_col) - body_chars, F.lit(0))
     )
     return out.select(
         *[df[c] for c in df.columns],
         F.concat(
+            head,
             F.concat_ws("", F.transform(keep_idx, lambda i: F.element_at(sents, i))),
             tail,
         ).alias("clean_text"),

@@ -658,8 +658,10 @@ def test_c4_span_dedup_matches_bruteforce(spark):
     Python brute force under the documented conventions (first occurrence
     by (id, position) kept; every sentence of a non-kept duplicate span
     removed; unterminated tails untouched), on docs with cross-doc AND
-    within-doc duplicated spans, short docs, empty text, and a tail
-    fragment."""
+    within-doc duplicated spans, short docs, empty text, a tail fragment,
+    and LEADING terminal-punctuation runs (the r8 head-capture fix: a text
+    starting '...' must keep its head verbatim, not drop it and duplicate
+    trailing bytes)."""
     import re
 
     from log_analysis_ai_spark.operators.dedup import c4_span_dedup
@@ -675,6 +677,11 @@ def test_c4_span_dedup_matches_bruteforce(spark):
         (50, "Only fragment without terminal punctuation"),
         (60, ""),
         (70, "Omega one. Omega two. Omega three. Omega four. trailing fragment"),
+        # leading punctuation runs: head survives verbatim, byte-identical
+        (80, "...abc."),
+        (81, "!?Eighty-one leads with bangs." + shared),
+        (82, "..."),
+        (83, "...unterminated fragment only"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -697,8 +704,13 @@ def test_c4_span_dedup_matches_bruteforce(spark):
     for did, t in rows:
         s = sents_of(t)
         rem = removed.get(did, set())
-        tail = t[sum(len(x) for x in s):]
-        want = ("".join(x for j, x in enumerate(s) if j not in rem) + tail, len(rem))
+        m = re.match(r"^[.!?]+", t)
+        head = m.group(0) if m else ""
+        tail = t[len(head) + sum(len(x) for x in s):]
+        want = (
+            head + "".join(x for j, x in enumerate(s) if j not in rem) + tail,
+            len(rem),
+        )
         assert got[did] == want, (did, got[did], want)
     # the shared span was removed from doc 20 (10 is globally first)
     assert got[20][1] == 3 and shared not in got[20][0]
@@ -709,14 +721,27 @@ def test_c4_span_dedup_matches_bruteforce(spark):
     assert got[40] == ("Too short. Really.", 0) and got[60] == ("", 0)
     assert got[50] == ("Only fragment without terminal punctuation", 0)
     assert got[70] == (rows[6][1], 0)
+    # r8 head fix: leading punctuation runs are byte-identical round-trips
+    assert got[80] == ("...abc.", 0) and got[82] == ("...", 0)
+    assert got[83] == ("...unterminated fragment only", 0)
+    assert got[81][0].startswith("!?Eighty-one leads with bangs.")
+    assert got[81][1] == 3 and shared not in got[81][0]
 
 
 def test_c4_span_dedup_plan_shape(spark):
-    """Scale pin: exactly TWO hash-partition shuffles — the window over
-    xxhash64(span) (the only corpus-sized one) and the duplicate-sized
-    groupBy(id) — plus a broadcast of the removed-index side; never a
-    cartesian product, and the window keys by the 64-bit span hash, not
-    the span string."""
+    """Scale pin (r8 hot-key defusal): the kept occurrence per span is
+    found by a PARTIAL-aggregating groupBy over xxhash64(span) — the plan
+    must carry a partial_min upstream of its exchange (map-side combine is
+    what absorbs a million-occurrence boilerplate span) and NO WindowExec
+    keyed on the span hash (the r7 shape, which serialized the hottest
+    span into one task). At most three hash exchanges: the keeper agg, the
+    occurrence-marking equi-join probe (both corpus-sized but skew-safe —
+    combine-absorbed and AQE-splittable respectively; the join may instead
+    BROADCAST the keeper side when stats allow), and the duplicate-sized
+    groupBy(id); never a cartesian product, and the span string is never a
+    shuffle KEY — only the 64-bit hash is. (min(struct) plans as
+    SortAggregate — struct buffers aren't hash-aggregable — but PARTIAL
+    mode, the property that absorbs the hot key, is what's pinned.)"""
     import re
 
     from log_analysis_ai_spark.operators.dedup import c4_span_dedup
@@ -726,9 +751,71 @@ def test_c4_span_dedup_plan_shape(spark):
         F.concat(F.lit("One sentence. Two here. Three now. Tail "), F.col("id")).alias("text"),
     )
     plan = c4_span_dedup(df)._jdf.queryExecution().executedPlan().toString()
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "Window" not in plan  # no WindowExec anywhere in this operator
+    assert "partial_min" in plan  # map-side combine BEFORE the keeper shuffle
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan
+    # the span text itself never appears as a hashpartitioning key
+    for key in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_sp#" not in key, key
+
+
+def test_c4_span_dedup_invariant_to_parallelism(spark):
+    """The keep-first rule is order-DEFINED (global min by (id, position)),
+    so output must be bit-identical at any partition count — pinned in the
+    style of test_pack_documents_invariant_to_parallelism."""
+    from log_analysis_ai_spark.operators.dedup import c4_span_dedup
+
+    base = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("Lead "), F.col("id"), F.lit(". "),
+            F.when(F.col("id") % 3 == 0,
+                   F.lit("Hot one. Hot two! Hot three? ")).otherwise(F.lit("")),
+            F.when(F.col("id") % 7 == 0,
+                   F.lit("Cold a. Cold b. Cold c. ")).otherwise(F.lit("")),
+            F.lit("tail fragment "), F.col("id"),
+        ).alias("text"),
+    )
+    want = None
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r.doc_id, r.clean_text, r.n_removed_sentences)
+            for r in c4_span_dedup(base.repartition(parts)).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, parts
+
+
+def test_c4_span_dedup_hot_span(spark):
+    """Planted hot key: ONE boilerplate 3-sentence span shared by 95% of
+    docs (the C4 'All rights reserved' shape the r8 partial-agg defuses).
+    Functional truth: exactly the globally-first doc keeps the span; every
+    other carrier loses exactly those 3 sentences; non-carriers untouched."""
+    from log_analysis_ai_spark.operators.dedup import c4_span_dedup
+
+    boiler = " All rights reserved. Copyright note here! Do not reproduce?"
+    n = 400
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("Doc "), F.col("id"), F.lit(" opens uniquely."),
+            F.when(F.col("id") % 20 != 7, F.lit(boiler)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed_sentences)
+           for r in c4_span_dedup(base.repartition(16)).collect()}
+    carriers = [i for i in range(n) if i % 20 != 7]
+    keeper = min(carriers)
+    assert got[keeper][1] == 0 and boiler in got[keeper][0]
+    for i in carriers:
+        if i != keeper:
+            assert got[i] == (f"Doc {i} opens uniquely.", 3), i
+    for i in range(n):
+        if i % 20 == 7:
+            assert got[i] == (f"Doc {i} opens uniquely.", 0), i
 
 
 def test_top_2gram_tie_break_convention(spark):
