@@ -669,6 +669,12 @@ def _docs_repetition_filter(spark, sf_dir):
             ).otherwise(F.col("text")),
         )
     )
+    # the sf-dir documents table is ONE parquet file → a 1-task scan that
+    # serializes the Arrow metric pass onto a single core; a real corpus
+    # scan arrives in thousands of splits. Repartitioning to the session's
+    # parallelism reproduces that shape (at 100 TB the scan itself
+    # provides it and this repartition would be dropped).
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return gopher_repetition_filter(d).select(
         "doc_id", *GOPHER_REPETITION_THRESHOLDS, "keep_repetition"
     ).orderBy("doc_id")

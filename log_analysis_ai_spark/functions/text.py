@@ -259,45 +259,140 @@ def _repetition_stats_arrow(df: DataFrame, col: str) -> DataFrame:
     repetition_stats). Same conventions as the SQL engine and the DuckDB
     oracle: tokens split on space runs only (newlines stay inside tokens),
     short texts yield ONE truncated n-gram, duplicates counted with
-    multiplicity, top-gram ties to the lexicographically largest."""
+    multiplicity, top-gram ties to the lexicographically largest. NULL
+    text scores all-zero, exactly like the SQL engine's coalesce.
+
+    r8: the n-gram work is BATCH-vectorized across the whole Arrow batch,
+    not per document (per-doc numpy measured SLOWER than the r7 Counter
+    loops on ~50-token docs — array-creation overhead dominates at that
+    size). All docs' tokens concatenate into one id array (np.unique lex
+    ranks — deterministic, no process-seeded hashing); for each n, ONE
+    vectorized 64-bit rolling polynomial hash covers every doc's grams
+    (doc-boundary-crossing positions masked out), one stable lexsort by
+    (doc, hash) yields group counts, and char lengths come from a global
+    cumulative-offset array. Gram STRINGS are materialized only for the
+    top-gram tie-break candidates (slices of each doc's single-space
+    join — never per-position str joins, never for the dup metrics). Gram
+    identity is the rolling hash of the id sequence (wraparound collision
+    odds ~K²/2⁶⁴ per batch — the accepted dedup_exact regime); the
+    cross-engine equality test pins this engine bit-equal to the
+    hash-free SQL folds."""
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"`{m}` double" for m in REPETITION_METRICS]
     )
+    n_top, n_dup = len(GOPHER_TOP_NGRAMS), len(GOPHER_DUP_NGRAMS)
 
     def compute(batches):
         import re  # noqa: PLC0415 — worker-side import
         from collections import Counter  # noqa: PLC0415
 
-        def metrics(t):
-            out = []
-            L = len(t)
-            for units in (t.split("\n"), re.split("\n{2,}", t)):
-                uc = Counter(units)
-                dupn = dupch = 0
-                for x, c in uc.items():
-                    if c > 1:
-                        dupn += c
-                        dupch += c * len(x)
-                out.append(dupn / len(units))
-                out.append(dupch / L if L else 0.0)
-            toks = re.split(" +", t.lower())
-            for n in GOPHER_TOP_NGRAMS:
-                k = max(len(toks) - n + 1, 1)
-                g = Counter(" ".join(toks[i : i + n]) for i in range(k))
-                cnt, gram = max((c, x) for x, c in g.items())
-                out.append(cnt * len(gram) / L if L else 0.0)
-            for n in GOPHER_DUP_NGRAMS:
-                k = max(len(toks) - n + 1, 1)
-                g = Counter(" ".join(toks[i : i + n]) for i in range(k))
-                d = sum(c * len(x) for x, c in g.items() if c > 1)
-                out.append(d / L if L else 0.0)
-            return out
+        import numpy as np  # noqa: PLC0415
+
+        B = np.uint64(1099511628211)  # FNV-1a prime as the rolling base
 
         for pdf in batches:
-            vals = [metrics(t) for t in pdf[col]]
+            texts = [t if isinstance(t, str) else "" for t in pdf[col]]
+            D = len(texts)
+            res = np.zeros((D, 4 + n_top + n_dup))
+            if D == 0:
+                for j, m in enumerate(REPETITION_METRICS):
+                    pdf[m] = res[:, j]
+                yield pdf
+                continue
+            Ls = np.fromiter((len(t) for t in texts), dtype=np.int64, count=D)
+            for d, t in enumerate(texts):
+                L = Ls[d]
+                for u, (units) in enumerate((t.split("\n"), re.split("\n{2,}", t))):
+                    uc = Counter(units)
+                    dupn = dupch = 0
+                    for x, c in uc.items():
+                        if c > 1:
+                            dupn += c
+                            dupch += c * len(x)
+                    res[d, 2 * u] = dupn / len(units)
+                    res[d, 2 * u + 1] = dupch / L if L else 0.0
+            toks_l = [re.split(" +", t.lower()) for t in texts]
+            joined_l = [" ".join(tk) for tk in toks_l]
+            ms = np.fromiter((len(tk) for tk in toks_l), dtype=np.int64, count=D)
+            all_toks = [x for tk in toks_l for x in tk]
+            M = len(all_toks)
+            S = np.zeros(D + 1, dtype=np.int64)
+            np.cumsum(ms, out=S[1:])
+            docidx = np.repeat(np.arange(D), ms)
+            # cumulative (token_len + 1): token i starts at char
+            # ctl[i] - ctl[S[doc]] of its doc's join; gram [i, i+n) has
+            # char length ctl[i+n] - ctl[i] - 1
+            ctl = np.zeros(M + 1, dtype=np.int64)
+            np.cumsum(
+                np.fromiter((len(x) + 1 for x in all_toks), dtype=np.int64, count=M),
+                out=ctl[1:],
+            )
+            doc_ctl0 = ctl[S[:-1]]
+            # deterministic lex-rank ids; <U fixed-width fast path unless a
+            # pathological token would blow the width out
+            if max(map(len, all_toks), default=0) <= 512:
+                ids = np.unique(np.asarray(all_toks), return_inverse=True)[1]
+            else:
+                ids = np.unique(np.asarray(all_toks, dtype=object), return_inverse=True)[1]
+            ids = ids.astype(np.uint64)
+
+            for cj, n in enumerate(GOPHER_TOP_NGRAMS + GOPHER_DUP_NGRAMS):
+                top = cj < n_top
+                oc = 4 + cj
+                # short docs: ONE truncated gram (the whole token list) —
+                # top scores its single count, dup can't duplicate
+                if top:
+                    for d in np.nonzero((ms < n) & (Ls > 0))[0]:
+                        res[d, oc] = len(joined_l[d]) / Ls[d]
+                K = M - n + 1
+                if K <= 0:
+                    continue
+                h = np.zeros(K, dtype=np.uint64)
+                for j in range(n):
+                    h = h * B + ids[j : j + K]
+                pos = np.nonzero(docidx[:K] == docidx[n - 1 : M])[0]
+                if not len(pos):
+                    continue
+                order = np.lexsort((h[pos], docidx[pos]))
+                pv = pos[order]
+                hv = h[pv]
+                dv = docidx[pv]
+                newg = np.empty(len(hv), dtype=bool)
+                newg[0] = True
+                newg[1:] = (hv[1:] != hv[:-1]) | (dv[1:] != dv[:-1])
+                gstart = np.nonzero(newg)[0]
+                counts = np.diff(np.append(gstart, len(hv)))
+                gdoc = dv[gstart]
+                gpos = pv[gstart]
+                glen = ctl[gpos + n] - ctl[gpos] - 1
+                if top:
+                    dstart = np.nonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])[0]
+                    maxc_of = np.zeros(D, dtype=np.int64)
+                    maxc_of[gdoc[dstart]] = np.maximum.reduceat(counts, dstart)
+                    cand = counts == maxc_of[gdoc]
+                    cdoc = gdoc[cand].tolist()
+                    cst = (ctl[gpos[cand]] - doc_ctl0[gdoc[cand]]).tolist()
+                    cln = glen[cand].tolist()
+                    best: dict = {}
+                    for d, st, ln in zip(cdoc, cst, cln):
+                        s = joined_l[d][st : st + ln]
+                        if d not in best or s > best[d]:
+                            best[d] = s
+                    for d, s in best.items():
+                        res[d, oc] = maxc_of[d] * len(s) / Ls[d]
+                else:
+                    dmask = counts > 1
+                    if dmask.any():
+                        contrib = np.bincount(
+                            gdoc[dmask],
+                            weights=counts[dmask] * glen[dmask],
+                            minlength=D,
+                        )
+                        nz = np.nonzero(contrib)[0]
+                        res[nz, oc] = contrib[nz] / Ls[nz]
             for j, m in enumerate(REPETITION_METRICS):
-                pdf[m] = [v[j] for v in vals]
+                pdf[m] = res[:, j]
             yield pdf
 
     return df.mapInPandas(compute, schema)

@@ -610,6 +610,7 @@ def test_repetition_stats_match_bruteforce(spark):
         if i % 4 == 0:
             txt = txt + "\n\n" + txt
         rows.append((i, txt))
+    rows.append((27, None))  # NULL text: all-zero in BOTH engines (r8 fix)
     from log_analysis_ai_spark.functions.text import REPETITION_METRICS as metrics
 
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -635,6 +636,7 @@ def test_repetition_stats_match_bruteforce(spark):
     from collections import Counter
 
     for i, t in rows:
+        t = t if isinstance(t, str) else ""  # NULL scores like empty text
         L = len(t)
         want = []
         for units in (t.split("\n"), re.split("\n{2,}", t)):
