@@ -710,10 +710,13 @@ def _docs_gopher_quality(spark, sf_dir):
 
 def _docs_c4_clean(spark, sf_dir):
     """C4 cleaning recipe (Raffel et al. 2020 §2.2): line-level terminal-
-    punctuation + javascript filters, doc-level lorem-ipsum / brace /
-    5-sentence rules. Variety planted by doc_id mod (extra punctuated
-    line, a javascript line, a lorem-ipsum tail) so every rule fires both
-    ways. Exact string/count semantics — hash-oracled."""
+    punctuation + 5-word filters, javascript filter, doc-level
+    lorem-ipsum / brace / 3-sentence rules (paper constants per TF
+    c4_utils: MIN_WORDS_PER_LINE=5, MIN_NUM_SENTENCES=3 — fixed in r8;
+    they were swapped before). Variety planted by doc_id mod (extra
+    punctuated 5-word line, a javascript line, a lorem-ipsum tail) so
+    every rule fires both ways. Exact string/count semantics —
+    hash-oracled."""
     from log_analysis_ai_spark.functions.text import c4_clean
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -722,7 +725,14 @@ def _docs_c4_clean(spark, sf_dir):
         F.concat(
             "text",
             F.when(
-                F.col("doc_id") % 5 == 0, F.lit("\nGood extra sentence.")
+                F.col("doc_id") % 5 == 0, F.lit("\nA good extra sentence here.")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    "\nFirst solid sentence sits here. Second solid sentence"
+                    " follows now. Third solid sentence ends things."
+                ),
             ).otherwise(F.lit("")),
             F.when(
                 F.col("doc_id") % 9 == 0, F.lit("\nthis line uses javascript.")
@@ -2168,7 +2178,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      text
                      || CASE WHEN doc_id % 5 = 0
-                             THEN chr(10) || 'Good extra sentence.' ELSE '' END
+                             THEN chr(10) || 'A good extra sentence here.' ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'First solid sentence sits here. Second solid sentence follows now. Third solid sentence ends things.' ELSE '' END
                      || CASE WHEN doc_id % 9 = 0
                              THEN chr(10) || 'this line uses javascript.' ELSE '' END
                      || CASE WHEN doc_id % 13 = 0
@@ -2181,14 +2193,14 @@ def oracle_sql() -> dict[str, str]:
                      COALESCE(array_to_string(
                        list_filter(string_split(text, chr(10)),
                                    x -> regexp_matches(x, '[.!?"]\\s*$')
-                                        AND len(string_split_regex(trim(x), ' +')) >= 3
+                                        AND len(string_split_regex(trim(x), ' +')) >= 5
                                         AND NOT contains(lower(x), 'javascript')),
                        chr(10)), '') AS clean_text
               FROM uni
             )
             SELECT doc_id, clean_text,
                    CAST(len(regexp_extract_all(clean_text, '[.!?]+')) AS INT) AS n_sentences,
-                   (len(regexp_extract_all(clean_text, '[.!?]+')) >= 5
+                   (len(regexp_extract_all(clean_text, '[.!?]+')) >= 3
                     AND NOT contains(lower(text), 'lorem ipsum')
                     AND NOT contains(text, '{')) AS keep_c4
             FROM m ORDER BY doc_id

@@ -495,6 +495,60 @@ def test_scrub_pii_masks_all_shapes(spark):
         assert r.got == r.want, (r.want, r.got)
 
 
+def test_scrub_pii_arrow_engine_bit_equal(spark):
+    """The r8 Arrow/RE2 one-pass engine must be bit-equal to the JVM
+    regexp_replace chain on every mask shape, order-sensitive overlaps
+    (email digits vs the phone rule), NULL/empty rows, unicode
+    neighbours, and the sf0.001 events-shaped planted corpus."""
+    from log_analysis_ai_spark.functions.text import scrub_pii, scrub_pii_arrow
+
+    rows = [
+        (0, "contact bob.smith+x@ex-ample.co.uk now"),
+        (1, "from 10.0.12.7 port 443"),
+        (2, "card 4111111111111111 used"),
+        (3, "key deadbeefdeadbeefdeadbeefdeadbeef12 set"),
+        (4, "call +1 (555) 123-4567 ok"),
+        (5, "digits 123 and v1.2.3.4 stay semver-ish"),
+        # email whose local part is phone-shaped: order must protect it
+        (6, "write 123456789@ex.co or ring 555 867 5309"),
+        (7, None),
+        (8, ""),
+        (9, "naïve café user42@host.org —東京 1.2.3.4 end"),
+        (10, "nested ip 10.0.0.1mail@x.io tail"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, t string").repartition(3)
+    jvm = df.select("event_id", scrub_pii("t").alias("clean"))
+    arrow = scrub_pii_arrow(df, "t", out_col="clean").select("event_id", "clean")
+    a = {r.event_id: r.clean for r in jvm.collect()}
+    b = {r.event_id: r.clean for r in arrow.collect()}
+    assert a == b
+    assert a[7] is None and a[8] == ""
+
+    # events-shaped corpus (the entry's planted line) at sf0.001
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lines = ev.select(
+        "event_id",
+        F.format_string(
+            "user%d@example.com from 10.0.%d.%d card 4111111111111111 "
+            "key deadbeefdeadbeefdeadbeefdeadbeef%04d +1 (555) 123-%04d %s",
+            F.pmod("user_id", F.lit(1000)),
+            F.pmod("event_id", F.lit(256)),
+            F.pmod("user_id", F.lit(256)),
+            F.pmod("event_id", F.lit(10000)).cast("int"),
+            F.pmod("user_id", F.lit(10000)).cast("int"),
+            "event_type",
+        ).alias("t"),
+    )
+    jvm2 = lines.select("event_id", scrub_pii("t").alias("a"))
+    ar2 = scrub_pii_arrow(lines, "t", out_col="b").select("event_id", "b")
+    n_bad = (
+        jvm2.join(ar2, "event_id")
+        .filter("a IS DISTINCT FROM b")
+        .count()
+    )
+    assert n_bad == 0
+
+
 def test_ngram_jaccard_exact_vs_bruteforce(spark):
     """Prefix filtering must be lossless: the prefix-filtered result equals
     the brute-force all-pairs shingle Jaccard at the same threshold, on a
@@ -934,6 +988,8 @@ def test_c4_clean_matches_bruteforce(spark):
         (4, "Too short here. Really truly."),
         (5, "Wait for it... then it happened! A cliffhanger ensued... More prose followed. Then some more. And an end."),
         (6, "ok.\nJust two.\nThree words kept. Plus more here. Another one kept. Final line stays. Yes truly kept."),
+        # the 4-vs-5-word line boundary (paper: MIN_WORDS_PER_LINE = 5)
+        (7, "Four words right here.\nFive words are right here. Plus filler sentence words more. Third sentence is here too."),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -945,16 +1001,22 @@ def test_c4_clean_matches_bruteforce(spark):
             x
             for x in t.split("\n")
             if re.search(r'[.!?"]\s*$', x)
-            and len(re.split(r" +", x.strip(" "))) >= 3
+            and len(re.split(r" +", x.strip(" "))) >= 5
             and "javascript" not in x.lower()
         ]
         clean = "\n".join(kept)
         # a sentence is a RUN of terminal punctuation: '...' counts once
         ns = len(re.findall(r"[.!?]+", clean))
-        keep = ns >= 5 and "lorem ipsum" not in t.lower() and "{" not in t
+        keep = ns >= 3 and "lorem ipsum" not in t.lower() and "{" not in t
         assert got[i] == (clean, ns, keep), (i, got[i], (clean, ns, keep))
     assert got[1][2] and not got[2][2] and not got[3][2] and not got[4][2]
     # ellipses: doc 5 has 6 sentence runs (two of them '...'), keepable
     assert got[5][1] == 6 and got[5][2]
-    # <3-word lines dropped: doc 6 keeps only the last line's 5 sentences
+    # <5-word lines dropped: doc 6 keeps only the last line's 5 sentences
     assert got[6][0].startswith("Three words kept.") and got[6][1] == 5 and got[6][2]
+    # doc 4 keeps its 5-word line but fails the 3-sentence doc rule (2)
+    assert got[4] == ("Too short here. Really truly.", 2, False)
+    # doc 7: the 4-word first line is dropped, the 5-word line survives
+    assert got[7][0].startswith("Five words are right here.") and got[7] == (
+        rows[7][1].split("\n")[1], 3, True,
+    )

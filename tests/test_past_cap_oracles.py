@@ -1,0 +1,74 @@
+"""The correctness driver runs only the FIRST 50 registry entries; the
+oracled entries demoted past that cap (r7 reorder) must not silently rot
+(ADVICE r7). This re-runs each past-cap query that carries a DuckDB oracle
+at sf0.001 and compares row count + schema + sorted values exactly like
+tools/check_oracle.py (same table_sig)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+SF_DIR = "/root/testdata/sf0.001"
+DRIVER_CAP = 50
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    from check_oracle import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _past_cap_names():
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries())
+    oracles = entry.oracle_sql()
+    return [n for n in qs[DRIVER_CAP:] if n in oracles]
+
+
+def test_registry_shape():
+    """75 entries, the first 50 all oracled (the driver window), and the
+    only no-oracle entries are the five documented rows-only queries."""
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries())
+    oracles = entry.oracle_sql()
+    assert len(qs) >= 75
+    assert all(n in oracles for n in qs[:DRIVER_CAP])
+    assert set(qs) - set(oracles) == {
+        "docs_minhash_near_dups",
+        "docs_simhash_near_dups",
+        "emb_ann_topk",
+        "emb_ann_topk_indexed",
+        "media_features",
+    }
+
+
+@pytest.mark.parametrize("name", _past_cap_names())
+def test_past_cap_oracle(spark, oracle_con, name):
+    from check_oracle import table_sig
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, SF_DIR)
+    cols = [c.lower() for c in df.columns]
+    rows = [tuple(r) for r in df.collect()]
+    res = oracle_con.sql(entry.oracle_sql()[name])
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+    assert sorted(cols) == sorted(ocols), (cols, ocols)
+    assert len(rows) == len(orows)
+    assert table_sig(rows, cols) == table_sig(orows, ocols)
