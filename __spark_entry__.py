@@ -1574,7 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     curation/dedup, embeddings, the two headline parsers); redundant
     variants (classic/offset/cube/batch roundtrips) and the five rows-only
     approximate queries sit past the cap — all remain verifiable via
-    tools/check_oracle.py."""
+    tools/check_oracle.py AND are pinned in CI by
+    tests/test_past_cap_oracles.py (r8), so demotion past the cap can no
+    longer silently rot an oracle."""
     return {
         # -- flagship SQL (TPC-H-shaped) --------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
