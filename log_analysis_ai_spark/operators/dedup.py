@@ -305,7 +305,22 @@ def ngram_jaccard_near_dups(
     instead of (df, shingle) changes which prefixes are exposed but not
     the verified result set (64-bit collision odds as in dedup_exact;
     measured ~2.5x end-to-end at sf0.1). The verify step computes
-    |union| as |A|+|B|-|A∩B| rather than materializing array_union."""
+    |union| as |A|+|B|-|A∩B| rather than materializing array_union.
+
+    Two further LOSSLESS candidate prunes run inside the prefix join,
+    before the distinct/verify shuffles (PPJoin, Xiao et al. WWW'08 §3):
+    - size filter: J(A,B) >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+      (intersection <= min, union >= max).
+    - positional filter: J >= t forces overlap O >= t/(1+t)*(|A|+|B|);
+      a shared prefix shingle at rank (pa, pb) bounds O <= 1 +
+      min(|A|-pa, |B|-pb) counting only shingles at-or-after the match —
+      valid for the pair's FIRST shared shingle in the global order
+      (nothing shared precedes it), and every true pair survives via
+      that occurrence, so pruning other occurrences loses nothing.
+    Both comparisons carry a 1e-9 slack so float rounding can only
+    ADMIT a borderline candidate (verify re-checks exactly), never drop
+    one. Measured at sf0.1/t=0.7: 205k -> 34k candidate pairs (6x) ahead
+    of the verify join."""
     df = widen_if_narrow(df)
     sh = compute_once(
         df.select(
@@ -331,14 +346,25 @@ def ngram_jaccard_near_dups(
     pref = compute_once(
         ranked.filter(
             F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-        ).select("_id", "_t"),
+        ).select("_id", "_t", "_rn", "_n"),
         caches,
     )
+    t = F.lit(float(threshold))
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")),
+        )
+        # size filter: min(|A|,|B|) >= t*max(|A|,|B|) (PPJoin; see docstring)
+        .filter(
+            F.least(F.col("a._n"), F.col("b._n"))
+            >= t * F.greatest(F.col("a._n"), F.col("b._n")) - F.lit(1e-9)
+        )
+        # positional filter: 1 + min(|A|-pa, |B|-pb) >= t/(1+t)*(|A|+|B|)
+        .filter(
+            F.lit(1) + F.least(F.col("a._n") - F.col("a._rn"), F.col("b._n") - F.col("b._rn"))
+            >= t / (F.lit(1.0) + t) * (F.col("a._n") + F.col("b._n")) - F.lit(1e-9)
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()

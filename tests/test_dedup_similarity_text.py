@@ -590,6 +590,25 @@ def test_ngram_jaccard_exact_vs_bruteforce(spark):
         assert abs(got[k] - want[k]) < 1e-9
 
 
+def test_ngram_jaccard_boundary_pair_at_exact_threshold(spark):
+    """A pair with Jaccard EXACTLY t must be returned: the PPJoin size and
+    positional prunes compare against t*max and t/(1+t)*(|A|+|B|) in
+    floats, and double(0.7)*10 > 7 — the 1e-9 slack exists precisely so
+    this boundary pair is admitted to verify rather than dropped."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 7 shingles
+    b = a + " x1 x2 x3"  # 10 shingles, superset: J = 7/10 = t
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "q1 q2 q3 q4")], "doc_id long, text string"
+    )
+    from log_analysis_ai_spark.operators.dedup import ngram_jaccard_near_dups
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_near_dups(df, threshold=0.7, shingle_n=3).collect()
+    }
+    assert set(got) == {(1, 2)} and abs(got[(1, 2)] - 0.7) < 1e-12
+
+
 def test_ngram_jaccard_threshold_one_is_clones_only(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d f")],
