@@ -236,12 +236,15 @@ def jaccard_pairs(
     out = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+        # |union| = |A|+|B|-|A∩B| for distinct sets: skips materializing
+        # a second merged array per pair (same convention as the prefix-
+        # filtered exact join below).
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_i") / (F.size("sh_a") + F.size("sh_b") - F.col("_i")).cast("double"),
         )
-        .drop("sh_a", "sh_b")
+        .drop("sh_a", "sh_b", "_i")
     )
     return out.select("id_a", "id_b", *[c for c in out.columns if c not in ("id_a", "id_b")])
 
