@@ -787,6 +787,51 @@ def _docs_c4_span_dedup(spark, sf_dir):
     )
 
 
+def _docs_substring_dedup(spark, sf_dir):
+    """EXACTSUBSTR-style duplicated-substring removal (Lee et al. 2022,
+    arXiv:2107.06499 §4.1, 'when a token span of >= 50 tokens occurs more
+    than once, keep one occurrence') — operators/dedup.substring_dedup at
+    window_tokens=8 (the paper's 50-token threshold needs longer docs than
+    the fixture's). Planted structure: a unique per-doc opener; a shared
+    11-token Alpha run on doc_id%4; a shared 9-token Beta run on doc_id%6
+    whose occurrences VARY IN WHITESPACE (single-spaced on %12, double-
+    spaced otherwise — the same token sequence, so they dedup as one
+    window while each surviving doc reconstructs its own original
+    spacing); and a tail from the original text. Duplicated windows also
+    slide into the shared opener words, so removal extends past the
+    planted runs exactly as the token-sequence rule dictates. Exact
+    string semantics — hash-oracled."""
+    from log_analysis_ai_spark.operators.dedup import substring_dedup
+
+    beta = "beta run goes nine ten eleven twelve thirteen fourteen"
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" opens with its own words"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" alpha run tokens one two three four five six seven eight"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.when(F.col("doc_id") % 12 == 0, F.lit(" " + beta)).otherwise(
+                    F.lit("  " + beta.replace(" ", "  "))
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" tail "),
+            F.substring("text", 1, 30),
+        ).alias("text"),
+    )
+    return (
+        substring_dedup(d, window_tokens=8)
+        .select("doc_id", "clean_text", "n_removed_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def _logfmt_roundtrip(spark, sf_dir):
     from log_analysis_ai_spark.sources import parse_logfmt
 
@@ -1627,9 +1672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_quality": _docs_gopher_quality,
         "docs_c4_clean": _docs_c4_clean,
         "docs_c4_span_dedup": _docs_c4_span_dedup,
+        "docs_substring_dedup": _docs_substring_dedup,
         "docs_token_stats": _docs_token_stats,
         "docs_langid": _docs_langid,
-        "docs_clean_corpus": _docs_clean_corpus,
         "emb_near_dups": _emb_near_dups,
         # -- embeddings --------------------------------------------------
         "emb_topk": _emb_topk,
@@ -1638,6 +1683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_parse_roundtrip": _grok_parse_roundtrip,
         # ======== driver's 50-entry cap falls here ======================
         # variants + remaining parser roundtrips (hash-oracled, judge-run)
+        # (docs_clean_corpus demoted r8 for docs_substring_dedup: it is a
+        # composition of langid/quality/dedup_exact/token_stats, each of
+        # which keeps its own in-window or past-cap-pinned oracle)
+        "docs_clean_corpus": _docs_clean_corpus,
         "syslog_classic_roundtrip": _syslog_classic_roundtrip,
         "logfmt_roundtrip": _logfmt_roundtrip,
         "jsonl_roundtrip": _jsonl_roundtrip,
@@ -2254,6 +2303,55 @@ def oracle_sql() -> dict[str, str]:
                      i -> sents[i]), ''), '')
                    || substring(text, CAST(length(head) + sc AS INT) + 1) AS clean_text,
                    CAST(COALESCE(len(removed), 0) AS INT) AS n_removed_sentences
+            FROM j ORDER BY doc_id
+        """,
+        "docs_substring_dedup": """
+            WITH sdoc AS (
+              SELECT doc_id,
+                     'Doc ' || CAST(doc_id AS VARCHAR) || ' opens with its own words'
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' alpha run tokens one two three four five six seven eight'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0
+                             THEN CASE WHEN doc_id % 12 = 0
+                                       THEN ' beta run goes nine ten eleven twelve thirteen fourteen'
+                                       ELSE '  beta  run  goes  nine  ten  eleven  twelve  thirteen  fourteen' END
+                             ELSE '' END
+                     || ' tail ' || substring(text, 1, 30) AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(text, '\\S+') AS toks,
+                     regexp_extract_all(text, '\\s*\\S+') AS wtoks
+              FROM sdoc
+            ), w AS (
+              -- overlapping 8-token windows compared as token SEQUENCES
+              -- (single-space joined); toks[i:i+7] = 8 elements, 1-based
+              SELECT doc_id, i - 1 AS ti, array_to_string(toks[i:i+7], ' ') AS wt
+              FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)
+            ), r AS (
+              SELECT doc_id, ti,
+                     row_number() OVER (PARTITION BY wt ORDER BY doc_id, ti) AS rn
+              FROM w
+            ), rem AS (
+              -- every token of a NON-first duplicate occurrence
+              SELECT DISTINCT doc_id, ti + o AS ri
+              FROM r, unnest(range(0, 8)) AS u(o) WHERE rn > 1
+            ), remset AS (
+              SELECT doc_id, list(ri) AS removed FROM rem GROUP BY doc_id
+            ), j AS (
+              SELECT t.doc_id, t.text, t.wtoks, remset.removed,
+                     COALESCE(list_sum(list_transform(t.wtoks, x -> length(x))), 0) AS wc
+              FROM t LEFT JOIN remset ON t.doc_id = remset.doc_id
+            )
+            SELECT doc_id,
+                   COALESCE(array_to_string(list_transform(
+                     list_filter(range(1, len(wtoks) + 1),
+                                 i -> removed IS NULL
+                                      OR NOT list_contains(removed, i - 1)),
+                     i -> wtoks[i]), ''), '')
+                   || substring(text, CAST(wc AS INT) + 1) AS clean_text,
+                   CAST(COALESCE(len(removed), 0) AS INT) AS n_removed_tokens
             FROM j ORDER BY doc_id
         """,
         "docs_gopher_quality": """

@@ -42,6 +42,7 @@ HEADLINE = [
     "syslog_roundtrip",
     "docs_repetition_filter",
     "docs_ngram_jaccard_dups",
+    "docs_substring_dedup",
 ]
 
 # queries whose first run is dominated by one-time whole-stage-codegen
@@ -91,9 +92,11 @@ METRIC_NOTES = [
     "`value` is not comparable with r6-and-earlier totals; per-query deltas "
     "remain comparable for the pre-existing keys.",
     "r8: added `value_comparable` (the r5-era query set: HEADLINE minus the "
-    "two r7 additions, plus pipeline_e2e) so round-over-round totals never "
+    "r7/r8 additions, plus pipeline_e2e) so round-over-round totals never "
     "need a footnote again, and `pipeline.wall_median_s` (median of the "
     "timed runs) alongside the best-of-N `wall_s`.",
+    "r8: HEADLINE gained docs_substring_dedup (the new EXACTSUBSTR "
+    "operator); `value_comparable` excludes it.",
 ]
 
 # the r5-era headline set — `value_comparable` sums exactly these keys (+
@@ -101,7 +104,8 @@ METRIC_NOTES = [
 R5_COMPARABLE = [
     q
     for q in HEADLINE
-    if q not in ("docs_repetition_filter", "docs_ngram_jaccard_dups")
+    if q
+    not in ("docs_repetition_filter", "docs_ngram_jaccard_dups", "docs_substring_dedup")
 ]
 
 

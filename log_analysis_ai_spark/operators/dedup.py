@@ -752,6 +752,135 @@ def c4_span_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 50,
+    caches: list | None = None,
+) -> DataFrame:
+    """EXACTSUBSTR-style duplicated-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1: when a token span of at least `window_tokens`
+    occurs more than once in the corpus, keep one occurrence and cut the
+    span from every other). The paper builds a corpus-wide suffix array; a
+    Spark cluster gets the same answer from overlapping fixed-width token
+    windows: a position is inside SOME duplicated run of >= W tokens iff it
+    is covered by SOME duplicated W-token window, so keep-first over
+    windows removes exactly the non-kept parts of every maximal duplicated
+    run (both constructions ship O(total tokens) keys). Reference parity:
+    the reference has no substring dedup; this implements the published
+    rule. Default window_tokens=50 is the paper's threshold.
+
+    Conventions (the paper operates on BPE token ids; this is the
+    whitespace-token analogue):
+    - a token is a maximal `\\S+` run; windows are the overlapping runs of
+      `window_tokens` consecutive tokens, compared as token SEQUENCES
+      (joined by a single space), so occurrences differing only in
+      whitespace runs are the same window;
+    - the kept occurrence of a duplicated window is the globally first by
+      (id, token position); every token covered by any non-kept occurrence
+      is removed from its document;
+    - `clean_text` re-concatenates surviving tokens, each carrying its own
+      LEADING whitespace (`\\s*\\S+`), plus the trailing-whitespace tail
+      verbatim — a document with nothing removed round-trips
+      byte-identically; a removed token takes its leading whitespace with
+      it.
+
+    Scale shape — unlike `c4_span_dedup` this never shuffles window TEXT:
+    the explode projects only (id, position, xxhash64(window)) — 24-byte
+    rows — with the window string materialized transiently inside the
+    projection (a 100 TB corpus would otherwise ship ~W× its own volume
+    through the exchange). Keep-first is the partial-aggregating
+    `groupBy(hash).agg(min(struct(id, pos)))` (map-side combine absorbs a
+    boilerplate window occurring millions of times; no window function
+    anywhere). Only CANDIDATES (occurrences of duplicated hashes — in a
+    deduplicated-enough corpus a small fraction) re-derive their window
+    text by an id-keyed join back to the token table for the exact-text
+    confirm, so a 64-bit collision can only RETAIN an extra duplicate,
+    never delete unique text (the family's verify convention). Removed
+    token-index sets flow back via one id-keyed join. No pair space, no
+    driver state. `caches` as in `compute_once` (the token table is
+    scanned by the explode and the two candidate-sized confirm joins).
+    Returns all original columns + clean_text + n_removed_tokens."""
+    W = window_tokens
+    base = compute_once(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0)).alias("_toks"),
+        ),
+        caches,
+    )
+    n_win = F.size("_toks") - F.lit(W - 1)
+    # sequence(1, 0) would count DOWN in Spark — clamp then filter instead
+    idxs = F.filter(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))), lambda i: i <= n_win
+    )
+    # hash inside the projection: the exchange carries (_id, _ti, _h) only
+    wins = F.transform(
+        idxs,
+        lambda i: F.struct(
+            (i - 1).alias("ti"),
+            F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, W))).alias("h"),
+        ),
+    )
+    ex = base.select("_id", F.explode(wins).alias("_w")).select(
+        "_id", F.col("_w.ti").alias("_ti"), F.col("_w.h").alias("_h")
+    )
+    # one keeper per DUPLICATED window hash; (id, position) is unique so the
+    # min(struct) order is total — partial_min absorbs hot windows map-side
+    keepers = (
+        ex.groupBy("_h")
+        .agg(F.min(F.struct("_id", "_ti")).alias("_k"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_h", "_k")
+    )
+    win_at = lambda ti: F.concat_ws(" ", F.slice(F.col("_toks"), ti + 1, W))  # noqa: E731
+    cand = (
+        ex.join(keepers, "_h")
+        .filter(~((F.col("_id") == F.col("_k._id")) & (F.col("_ti") == F.col("_k._ti"))))
+        .join(base, "_id")
+        .select("_id", "_ti", "_h", win_at(F.col("_ti")).alias("_wt"))
+    )
+    keeper_txt = (
+        keepers.select("_h", F.col("_k._id").alias("_id"), F.col("_k._ti").alias("_ti"))
+        .join(base, "_id")
+        .select("_h", win_at(F.col("_ti")).alias("_kwt"))
+    )
+    removed = (
+        cand.join(keeper_txt, "_h")
+        .filter(F.col("_wt") == F.col("_kwt"))  # exact-text confirm (collision guard)
+        .select(
+            "_id",
+            F.explode(F.sequence(F.col("_ti"), F.col("_ti") + F.lit(W - 1))).alias("_ri"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_ri").alias("_removed"))
+    )
+    wtoks = F.regexp_extract_all(F.col(text_col), F.lit(r"\s*\S+"), F.lit(0))
+    out = df.join(removed, df[id_col] == removed["_id"], "left")
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(wtoks), F.lit(1))),
+        lambda i: (i <= F.size(wtoks))
+        & (
+            F.col("_removed").isNull()
+            | ~F.array_contains("_removed", (i - 1).cast("int"))
+        ),
+    )
+    body_chars = F.aggregate(wtoks, F.lit(0), lambda a, x: a + F.length(x))
+    tail = F.col(text_col).substr(
+        body_chars + 1, F.greatest(F.length(text_col) - body_chars, F.lit(0))
+    )
+    return out.select(
+        *[df[c] for c in df.columns],
+        F.concat(
+            F.concat_ws("", F.transform(keep_idx, lambda i: F.element_at(wtoks, i))),
+            tail,
+        ).alias("clean_text"),
+        F.coalesce(F.size("_removed"), F.lit(0)).alias("n_removed_tokens"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

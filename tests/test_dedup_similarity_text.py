@@ -1039,3 +1039,151 @@ def test_c4_clean_matches_bruteforce(spark):
     assert got[7][0].startswith("Five words are right here.") and got[7] == (
         rows[7][1].split("\n")[1], 3, True,
     )
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """EXACTSUBSTR-style duplicated-substring removal (Lee et al. 2022):
+    exact parity with a pure-Python brute force under the documented
+    conventions (windows = overlapping W-token runs compared as token
+    sequences; globally-first occurrence by (id, position) kept; every
+    token of a non-kept occurrence removed; each surviving token carries
+    its own leading whitespace; trailing whitespace survives verbatim).
+    Covers: runs longer than W (union of overlapping windows), whitespace
+    variation between occurrences (same token sequence, different
+    separators), within-doc repeats, exact-duplicate docs, docs shorter
+    than W, empty / all-whitespace text, and leading/trailing whitespace."""
+    import re
+
+    from log_analysis_ai_spark.operators.dedup import substring_dedup
+
+    W = 5
+    run = "the quick brown fox jumps over seven lazy"  # 8 tokens > W
+    rows = [
+        (10, "unique ten opener " + run + " ten closing words"),
+        # same token sequence, different whitespace (tabs + double spaces)
+        (20, "twenty starts\tdifferently  " + run.replace(" over", "  over\tseven").replace(" seven lazy", " lazy")),
+        (30, "thirty has " + run + " then again " + run + " twice"),
+        (40, "short doc only"),
+        (50, ""),
+        (60, "   \t "),
+        (70, "  leading whitespace then " + run + " and trailing spaces   "),
+        (80, "unique ten opener " + run + " ten closing words"),  # exact dup of 10
+        (90, "ninety " + run + " mid " + run[:19] + " overlapping partial run end pad pad2 pad3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in substring_dedup(df, window_tokens=W).collect()
+    }
+
+    wins: dict[str, list] = {}
+    for did, t in rows:
+        toks = re.findall(r"\S+", t)
+        for i in range(max(len(toks) - W + 1, 0)):
+            wins.setdefault(" ".join(toks[i : i + W]), []).append((did, i))
+    removed: dict[int, set] = {}
+    for occ in wins.values():
+        if len(occ) > 1:
+            for did, i in sorted(occ)[1:]:
+                removed.setdefault(did, set()).update(range(i, i + W))
+    for did, t in rows:
+        wtoks = re.findall(r"\s*\S+", t)
+        rem = removed.get(did, set())
+        tail = t[sum(len(x) for x in wtoks):]
+        want = ("".join(x for j, x in enumerate(wtoks) if j not in rem) + tail, len(rem))
+        assert got[did] == want, (did, got[did], want)
+    # cross-checks of the interesting rows
+    assert got[10][1] == 0                      # globally first: untouched
+    assert got[80] == ("", len(re.findall(r"\S+", rows[0][1])))  # exact dup: fully removed
+    assert got[20][1] >= W and "quick" not in got[20][0]         # whitespace variant deduped
+    assert got[30][1] >= 8                      # within-doc second run removed
+    assert got[40] == ("short doc only", 0) and got[50] == ("", 0)
+    assert got[60] == ("   \t ", 0)             # all-whitespace round-trips
+    assert got[70][0].startswith("  leading") and got[70][0].endswith("   ")
+
+
+def test_substring_dedup_plan_shape(spark):
+    """Scale pins: (a) keep-first is a PARTIAL-aggregating groupBy over the
+    window hash (partial_min upstream of the exchange absorbs a
+    boilerplate window occurring millions of times) — never a window
+    function; (b) the window TEXT is never a shuffle key — every
+    hashpartitioning key set is hash/id-typed (the explode projects only
+    (id, pos, xxhash64(window)), so the exchange carries 24-byte rows, not
+    ~W-token strings); (c) no cartesian product anywhere — candidate
+    verification is equi-join only."""
+    import re
+
+    from log_analysis_ai_spark.operators.dedup import substring_dedup
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boiler tokens one two three four five six "), F.col("id")
+        ).alias("text"),
+    )
+    plan = substring_dedup(df, window_tokens=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
+    for key in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_wt#" not in key and "_kwt#" not in key and "_toks#" not in key, key
+
+
+def test_substring_dedup_invariant_to_parallelism(spark):
+    """Keep-first is order-DEFINED (global min by (id, position)), so the
+    output must be bit-identical at any partition count."""
+    from log_analysis_ai_spark.operators.dedup import substring_dedup
+
+    base = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("Lead "), F.col("id"), F.lit(" "),
+            F.when(F.col("id") % 3 == 0,
+                   F.lit("hot shared run alpha beta gamma delta epsilon ")).otherwise(F.lit("")),
+            F.when(F.col("id") % 7 == 0,
+                   F.lit("cold shared run omega psi chi phi upsilon ")).otherwise(F.lit("")),
+            F.lit("tail "), F.col("id"),
+        ).alias("text"),
+    )
+    want = None
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r.doc_id, r.clean_text, r.n_removed_tokens)
+            for r in substring_dedup(base.repartition(parts), window_tokens=5).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, parts
+
+
+def test_substring_dedup_hot_window(spark):
+    """Planted hot key: ONE boilerplate token run shared by 95% of docs
+    (the 'All rights reserved' shape the partial agg absorbs map-side).
+    Exactly the globally-first carrier keeps the run; every other carrier
+    loses the full duplicated run — the boiler tokens PLUS the two opener
+    tokens ('opens uniquely') that extend it, since windows sliding over
+    them avoid the doc-id token and are therefore also corpus-duplicated;
+    non-carriers untouched."""
+    from log_analysis_ai_spark.operators.dedup import substring_dedup
+
+    boiler = " all rights reserved contact the site owner today"  # 8 tokens
+    n = 400
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("doc "), F.col("id"), F.lit(" opens uniquely"),
+            F.when(F.col("id") % 20 != 7, F.lit(boiler)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+           for r in substring_dedup(base.repartition(16), window_tokens=8).collect()}
+    carriers = [i for i in range(n) if i % 20 != 7]
+    keeper = min(carriers)
+    assert got[keeper][1] == 0 and boiler in got[keeper][0]
+    for i in carriers:
+        if i != keeper:
+            assert got[i] == (f"doc {i}", 10), i
+    for i in range(n):
+        if i % 20 == 7:
+            assert got[i] == (f"doc {i} opens uniquely", 0), i
