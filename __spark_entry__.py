@@ -1233,12 +1233,20 @@ def _events_stratified_cap(spark, sf_dir):
     """Per-group cap (the 'no domain may dominate the corpus' curation
     rule): at most 50 events per event_type, chosen by deterministic hash
     order — survivors are a pure function of the data, ORACLED row-exact
-    via the portable Knuth hash."""
+    via the portable Knuth hash. Runs with `presalt_buckets=8` (the r8
+    hot-group defusal: per-(group, hash mod 8) pre-prune, then the exact
+    window on ≤ 8·cap survivors) — the oracle is the UNSALTED single-stage
+    SQL, so the driver's hash gate is itself the losslessness proof."""
     from log_analysis_ai_spark.operators.sampling import knuth_hash, stratified_cap
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     return stratified_cap(
-        ev, "event_type", cap=50, key_cols="event_id", hash_expr=knuth_hash("event_id")
+        ev,
+        "event_type",
+        cap=50,
+        key_cols="event_id",
+        hash_expr=knuth_hash("event_id"),
+        presalt_buckets=8,
     ).orderBy("event_type", "event_id")
 
 

@@ -91,6 +91,7 @@ def stratified_cap(
     key_cols=None,
     salt: int = 0,
     hash_expr: Column | None = None,
+    presalt_buckets: int | None = None,
 ) -> DataFrame:
     """At most `cap` rows per group, chosen by deterministic hash order
     (ties broken by the key columns themselves, so the survivor set is a
@@ -98,17 +99,34 @@ def stratified_cap(
     row_number window is bounded by the group, and partial ordering is
     computed map-side by the sort-based window operator.
 
-    Skew note (the 100 TB reading): a single hot group funnels through one
-    task here — that is inherent to exact per-group capping. When only an
-    approximate cap is needed for a hot-domain guard, pre-filter with
-    `deterministic_sample(cap / est_group_size)` per hot key first and cap
-    exactly afterwards; the window then sees at most ~cap·(1+ε) rows per
-    group."""
+    Skew defusal (the 100 TB reading): by default a single hot group
+    funnels through one window task. `presalt_buckets=S` adds a LOSSLESS
+    pre-prune: stage 1 windows over (group, pmod(hash, S)) and keeps the
+    per-bucket cap-smallest rows — a hot group runs as S parallel tasks —
+    then stage 2 applies the exact window to the ≤ S·cap survivors per
+    group. Every global winner is, within its own bucket, among that
+    bucket's cap smallest, so the survivor set is IDENTICAL to the
+    single-stage result (given the operator's standing determinism
+    precondition: (hash, key_cols) distinct within a group). Cost: one
+    extra shuffle of the full input — worth it only when a group can
+    exceed ~10^7 rows. For an APPROXIMATE hot-domain guard,
+    `deterministic_sample(cap / est_group_size)` per hot key then an
+    exact cap remains the cheaper shape."""
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     key_cols = key_cols if key_cols is not None else group_cols
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     h = hash_expr if hash_expr is not None else xxhash(key_cols, salt)
-    w = Window.partitionBy(*group_cols).orderBy(h.asc(), *[F.col(c).asc() for c in key_cols])
+    order = [h.asc()] + [F.col(c).asc() for c in key_cols]
+    if presalt_buckets is not None and presalt_buckets > 1:
+        w1 = Window.partitionBy(*group_cols, F.pmod(h, F.lit(presalt_buckets))).orderBy(
+            *order
+        )
+        df = (
+            df.withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= cap)
+            .drop("_rk1")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)

@@ -317,3 +317,50 @@ def test_pack_documents_invariant_to_parallelism(spark):
     b = {r.doc_id: (r.pack_bucket, r.pack_seq, r.pack_pos)
          for r in pack_documents(df.repartition(17), "tokens", 1024, buckets=4).collect()}
     assert a == b
+
+
+def test_stratified_cap_presalt_equals_plain_on_hot_group(spark):
+    """`presalt_buckets` is a LOSSLESS skew defusal: on a corpus where one
+    hot group holds ~90% of rows, the two-stage (per-(group, hash mod S)
+    pre-prune -> exact window) result must be row-identical to the
+    single-stage window for several S, at several partition counts, and
+    for both the default xxhash and the portable knuth_hash."""
+    n = 4000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 != 7, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold_"), (F.col("id") % 3).cast("string"))
+        ).alias("grp"),
+    )
+    for hexpr in (None, knuth_hash("doc_id")):
+        plain = {
+            (r.grp, r.doc_id)
+            for r in stratified_cap(
+                d, "grp", cap=25, key_cols="doc_id", hash_expr=hexpr
+            ).collect()
+        }
+        for buckets in (2, 8, 64):
+            for parts in (1, 13):
+                salted = {
+                    (r.grp, r.doc_id)
+                    for r in stratified_cap(
+                        d.repartition(parts),
+                        "grp",
+                        cap=25,
+                        key_cols="doc_id",
+                        hash_expr=hexpr,
+                        presalt_buckets=buckets,
+                    ).collect()
+                }
+                assert salted == plain, (buckets, parts, hexpr is None)
+    # per-group counts: hot group capped, small groups survive whole
+    per: dict = {}
+    for g, _ in plain:
+        per[g] = per.get(g, 0) + 1
+    assert per["hot"] == 25
+    # buckets >= group size: every row is its bucket's top-cap, stage 1
+    # passes everything through and stage 2 still caps exactly
+    wide = stratified_cap(
+        d, "grp", cap=25, key_cols="doc_id", presalt_buckets=100000
+    )
+    assert wide.filter(F.col("grp") == "hot").count() == 25
