@@ -619,6 +619,43 @@ def _docs_packed(spark, sf_dir):
     ).select("doc_id", "pack_bucket", "pack_seq", "pack_pos").orderBy("doc_id")
 
 
+def _docs_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-Res order,
+    IPL 2006): the 100 docs with the largest ln(u)/n_chars priority, u from
+    the portable Knuth hash — i.e. "sample k docs with probability
+    proportional to length" as a pure function of the data, no RNG, no
+    seed file. TakeOrderedAndProject plan (per-task k-row heap, only k
+    rows per partition move). hash-ORACLED: DuckDB evaluates the identical
+    hash + ln priority."""
+    from log_analysis_ai_spark.operators.sampling import knuth_hash, weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(
+        d,
+        k=100,
+        weight_col="n_chars",
+        key_cols="doc_id",
+        hash_expr=knuth_hash("doc_id", salt=11),
+        hash_range=1 << 32,
+    ).orderBy("doc_id")
+
+
+def _docs_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (RAG / embedding-ingest shape):
+    window=32 tokens, stride=24, tokens = literal single-space split so
+    chunk boundaries are exact-substring aligned. Fully narrow (explode of
+    a per-row sequence, no shuffle/UDF); chunk ids deterministic.
+    hash-ORACLED: DuckDB reproduces the split/slice/join byte-for-byte."""
+    from log_analysis_ai_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_documents(d, "text", window=32, stride=24)
+        .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def _docs_decontaminated(spark, sf_dir):
     """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap rule):
     docs sharing any word 5-gram with the planted benchmark (doc_id<15)
@@ -1712,6 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": _orders_cube,
         "docs_quality": _docs_quality,
         "docs_fingerprint": _docs_fingerprint,
+        "docs_weighted_sample": _docs_weighted_sample,
+        "docs_chunks": _docs_chunks,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -2678,6 +2717,40 @@ def oracle_sql() -> dict[str, str]:
         # — pure row functions, so even SAMPLING is hash-oracled. The mod-2^31
         # folds keep every intermediate < 2^63 for any bigint key, so the
         # formula evaluates identically in every engine (sampling.knuth_hash).
+        # Efraimidis-Spirakis A-Res priority ln(u)/w over the portable
+        # Knuth hash (salt 11) — the ln is float, so this oracle doubles as
+        # the cross-engine reproducibility proof for weighted_sample
+        "docs_weighted_sample": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars
+              FROM documents WHERE n_chars > 0
+              ORDER BY ln((((doc_id % 2147483648 + 11) % 2147483648)
+                           * 2654435761 % 4294967296 + 1) / 4294967296.0)
+                       / n_chars DESC, doc_id
+              LIMIT 100
+            ) ORDER BY doc_id
+        """,
+        # window=32 / stride=24 token chunking; list slices are 1-based
+        # INCLUSIVE in DuckDB, so [j*24+1 : j*24+32] is exactly 32 tokens
+        "docs_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+              FROM documents
+            ), n AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) <= 32 THEN 1
+                          ELSE CAST(floor((len(toks) - 32 + 23) / 24.0) AS INT) + 1
+                     END AS nc
+              FROM t
+            ), e AS (
+              SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS j
+              FROM n
+            )
+            SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+                   array_to_string(toks[j*24+1 : j*24+32], ' ') AS chunk_text,
+                   len(toks[j*24+1 : j*24+32]) AS n_tokens
+            FROM e ORDER BY doc_id, chunk_idx
+        """,
         "docs_sample_deterministic": f"""
             SELECT doc_id, n_chars FROM documents
             WHERE ((doc_id % 2147483648 + 7) % 2147483648) * 2654435761

@@ -62,6 +62,52 @@ def pack_documents(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 256,
+    stride: int | None = None,
+    idx_col: str = "chunk_idx",
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the standard
+    RAG / embedding-ingest chunking op (packing's inverse: packing joins
+    docs up to a budget, chunking cuts docs down to one). Tokens are the
+    literal single-space split (empty tokens from runs of spaces are KEPT,
+    so `array_join(slice(...), ' ')` reconstructs exact substrings and
+    concatenating stride-aligned chunks reproduces the document); chunk j
+    covers tokens [j*stride, j*stride + window). The last chunk starts at
+    the smallest j*stride with j*stride + window >= n_tokens, so every
+    token is covered and no chunk is a suffix-subset of its predecessor;
+    a doc with <= window tokens (or empty/NULL text) yields exactly one
+    chunk.
+
+    Scale shape: fully narrow — split, a per-row `sequence(0, n_chunks-1)`
+    explode, and slice/join projections; no shuffle, no UDF, output rows
+    bounded by ceil(n_tokens/stride)+1 per doc. Deterministic: chunk ids
+    and boundaries are a pure function of the text."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    stride = window if stride is None else stride
+    if not 0 < stride <= window:
+        raise ValueError(f"stride must be in (0, window]={window}, got {stride}")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= window, F.lit(1))
+        .otherwise(F.floor((n - window + stride - 1) / F.lit(stride)) + 1)
+        .cast("int")
+    )
+    piece = F.slice("_toks", F.col(idx_col) * stride + 1, window)
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn(idx_col, F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(out_col, F.array_join(piece, " "))
+        .withColumn("n_tokens", F.size(piece))
+        .drop("_toks")
+    )
+
+
 def pack_stats(packed: DataFrame, token_col: str) -> DataFrame:
     """Per-pack accounting (docs, tokens, budget overflow of the crossing
     doc) for packing-efficiency audits."""

@@ -134,6 +134,56 @@ def stratified_cap(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col,
+    key_cols,
+    salt: int = 0,
+    hash_expr: Column | None = None,
+    hash_range: int = 1 << 62,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the k rows
+    with the largest priority ln(u)/w, where u = (hash(key)+1)/hash_range —
+    Efraimidis & Spirakis 2006's A-Res order ("Weighted random sampling with
+    a reservoir", IPL 97(5)); ln(u)/w is the monotone log transform of their
+    u^(1/w) key, so each row is selected with probability proportional to
+    `weight_col` over the exhaustive corpus of draws, yet — because u comes
+    from a pure hash, not an RNG — the SAMPLE SET is a pure function of the
+    data: identical at any parallelism, any retry, any re-run, and
+    reproducible in plain SQL when `hash_expr` is the portable `knuth_hash`.
+
+    The curation use: "sample 1M documents biased toward high quality-score"
+    without a seed file or a driver-side RNG state.
+
+    Scale shape: priority is a narrow codegen projection; `orderBy(...).
+    limit(k)` plans as TakeOrderedAndProject — each task keeps a k-row heap
+    and only k rows per partition ever move, no global sort, no full
+    shuffle. Ties (possible only via hash collision) break on `key_cols`,
+    keeping the set deterministic. Weights must be strictly positive — rows
+    with weight <= 0 are dropped (they have selection probability 0).
+
+    Exactness caveat (documented, inherent): cross-engine reproducibility
+    of the SET rests on float `ln`; two rows whose priorities differ by
+    <1 ulp could order differently in another engine. With hashed u the
+    collision scale is ~1e-15 relative — negligible, and only ever at the
+    selection boundary."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h = hash_expr if hash_expr is not None else xxhash(key_cols, salt)
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(hash_range))
+    pri = F.log(u) / w.cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+        .drop("_pri")
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -364,3 +364,133 @@ def test_stratified_cap_presalt_equals_plain_on_hot_group(spark):
         d, "grp", cap=25, key_cols="doc_id", presalt_buckets=100000
     )
     assert wide.filter(F.col("grp") == "hot").count() == 25
+
+
+def test_weighted_sample_matches_bruteforce_and_is_invariant(spark):
+    """A-Res selection must equal the brute-force top-k by ln(u)/w computed
+    in plain Python over the identical portable hash, and must be the same
+    set at any partitioning."""
+    import math
+
+    from log_analysis_ai_spark.operators.sampling import weighted_sample
+
+    n, k, salt = 400, 60, 11
+    rows = [(i, float(1 + (i * 37) % 97)) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def pri(i, w):
+        h = ((i % (1 << 31) + salt) % (1 << 31)) * 2654435761 % (1 << 32)
+        return math.log((h + 1) / float(1 << 32)) / w
+
+    expect = {
+        i for i, _ in sorted(rows, key=lambda r: (-pri(*r), r[0]))[:k]
+    }
+    for parts in (1, 13):
+        got = {
+            r.doc_id
+            for r in weighted_sample(
+                df.repartition(parts),
+                k=k,
+                weight_col="w",
+                key_cols="doc_id",
+                hash_expr=knuth_hash("doc_id", salt=salt),
+                hash_range=1 << 32,
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_weighted_sample_bias_drops_nonpositive_and_plans_topk(spark):
+    """Heavier rows must be selected proportionally more often (averaged
+    over independent salts), weight<=0 rows never selected, and the plan
+    must be TakeOrderedAndProject (per-partition k-heap), not a global
+    Sort."""
+    from log_analysis_ai_spark.operators.sampling import weighted_sample
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 9.0).otherwise(1.0).alias("w"),
+    )
+    heavy = light = 0
+    for salt in range(8):
+        sel = weighted_sample(df, k=80, weight_col="w", key_cols="doc_id", salt=salt)
+        got = [r.doc_id for r in sel.collect()]
+        assert len(got) == 80
+        heavy += sum(1 for i in got if i % 2 == 0)
+        light += sum(1 for i in got if i % 2 == 1)
+    # E[heavy share] >> 1/2; with w-ratio 9 the A-Res expectation is ~0.8+
+    assert heavy > 2.5 * light, (heavy, light)
+    # weight <= 0 dropped even when k exceeds the positive population
+    withzero = df.withColumn(
+        "w", F.when(F.col("doc_id") < 390, F.col("w")).otherwise(F.lit(0.0))
+    )
+    got = weighted_sample(withzero, k=400, weight_col="w", key_cols="doc_id").collect()
+    assert len(got) == 390 and all(r.doc_id < 390 for r in got)
+    plan = weighted_sample(
+        df, k=10, weight_col="w", key_cols="doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chunk_documents_exact_cases_and_coverage(spark):
+    """Handcrafted boundary cases: <=window one chunk, exact-window one
+    chunk, window+1 two chunks, double spaces preserved (empty tokens are
+    real tokens), empty/NULL text one empty chunk; and on a longer doc the
+    stride-aligned chunks cover every token with the documented count."""
+    from log_analysis_ai_spark.operators.packing import chunk_documents
+
+    docs = [
+        (0, "a b c"),                      # 3 toks <= window
+        (1, "t0 t1 t2 t3"),                # exactly window
+        (2, "t0 t1 t2 t3 t4"),             # window+1 -> 2 chunks
+        (3, "a  b"),                       # double space: 3 tokens a,'',b
+        (4, ""),
+        (5, None),
+        (6, " ".join(f"w{i}" for i in range(11))),  # 11 toks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(df, "text", window=4, stride=3).collect()
+    }
+    assert out[(0, 0)] == ("a b c", 3)
+    assert out[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert sum(1 for k in out if k[0] == 1) == 1
+    assert out[(2, 0)] == ("t0 t1 t2 t3", 4)
+    assert out[(2, 1)] == ("t3 t4", 2)
+    assert out[(3, 0)] == ("a  b", 3)
+    assert out[(4, 0)] == ("", 1)
+    assert out[(5, 0)] == ("", 1)
+    # 11 tokens, window 4, stride 3: ceil((11-4)/3)+1 = 4 chunks at 0,3,6,9
+    elevens = sorted(k[1] for k in out if k[0] == 6)
+    assert elevens == [0, 1, 2, 3]
+    assert out[(6, 3)] == ("w9 w10", 2)
+    covered = set()
+    for (d, j), (_, nt) in out.items():
+        if d == 6:
+            covered.update(range(j * 3, j * 3 + nt))
+    assert covered == set(range(11))
+
+
+def test_chunk_documents_narrow_plan_and_validation(spark):
+    """Chunking must stay shuffle-free (no Exchange in the executed plan)
+    and reject nonsensical window/stride."""
+    import pytest
+
+    from log_analysis_ai_spark.operators.packing import chunk_documents
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = (
+        chunk_documents(df, "text", window=8, stride=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", window=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", window=8, stride=9)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", window=8, stride=0)
