@@ -656,6 +656,42 @@ def _docs_chunks(spark, sf_dir):
     )
 
 
+def _docs_incremental_dedup(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup against a PERSISTED bucketed
+    MinHash index (the daily-crawl-vs-100TB-history shape): the corpus is
+    signatured + bucket-shuffled ONCE at build; the probe shuffles only the
+    batch side. Batch = clones of doc_id<40 (must match) + 10 docs with a
+    novel suffix (must not, at threshold=1.0). At threshold=1.0 identical
+    shingle sets share every band — recall provably 1 — so the DuckDB
+    shingle-set-equality oracle applies exactly. hash-ORACLED."""
+    import os
+
+    from log_analysis_ai_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = f"inc_idx_{os.getpid()}"
+    build_minhash_index(d, table, n_buckets=8)
+    clones = d.filter(F.col("doc_id") < 40).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(200000)
+    )
+    modified = (
+        d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(300000))
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" entirely novel suffix tokens"))
+        )
+    )
+    out = incremental_minhash_dedup(
+        spark, clones.unionByName(modified), table, d, threshold=1.0
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("new_id", "corpus_id")
+
+
 def _docs_decontaminated(spark, sf_dir):
     """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap rule):
     docs sharing any word 5-gram with the planted benchmark (doc_id<15)
@@ -1751,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _docs_fingerprint,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_chunks": _docs_chunks,
+        "docs_incremental_dedup": _docs_incremental_dedup,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -2729,6 +2766,38 @@ def oracle_sql() -> dict[str, str]:
                        / n_chars DESC, doc_id
               LIMIT 100
             ) ORDER BY doc_id
+        """,
+        # batch-vs-corpus at threshold=1.0: match <=> identical distinct
+        # word-3-gram shingle sets (the docs_minhash_groups convention);
+        # batch = clones of doc_id<40 (+200000) and suffix-modified docs
+        # 40..49 (+300000) that must NOT match
+        "docs_incremental_dedup": """
+            WITH batch AS (
+              SELECT doc_id + 200000 AS doc_id, text
+              FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     text || ' entirely novel suffix tokens' AS text
+              FROM documents WHERE doc_id >= 40 AND doc_id < 50
+            ), shc AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(string_split_regex(lower(text), ' +')) - 2, 1) + 1),
+                       i -> array_to_string(string_split_regex(lower(text), ' +')[i:i+2], ' ')
+                     )) AS s
+              FROM documents
+            ), shb AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(string_split_regex(lower(text), ' +')) - 2, 1) + 1),
+                       i -> array_to_string(string_split_regex(lower(text), ' +')[i:i+2], ' ')
+                     )) AS s
+              FROM batch
+            )
+            SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, 1.0 AS jaccard
+            FROM shb b JOIN shc c
+              ON len(list_intersect(b.s, c.s)) = len(list_distinct(b.s || c.s))
+            ORDER BY new_id, corpus_id
         """,
         # window=32 / stride=24 token chunking; list slices are 1-based
         # INCLUSIVE in DuckDB, so [j*24+1 : j*24+32] is exactly 32 tokens

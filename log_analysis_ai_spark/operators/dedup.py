@@ -272,6 +272,113 @@ def minhash_near_dups(
     )
 
 
+def build_minhash_index(
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's banded MinHash signatures (_id, band, bucket)
+    as a catalog table BUCKETED on (band, bucket) — the production shape
+    for INCREMENTAL dedup: the 100 TB historical corpus is signatured and
+    shuffled exactly once, at ingest, and every future batch-vs-corpus
+    probe reads the index with ZERO exchanges (Spark treats the bucketed
+    layout as valid hash partitioning for the band-bucket equi-join).
+    Append new batches with mode='append' after they pass dedup, so the
+    index stays current without a rebuild."""
+    banded = minhash_banded(df, text_col, id_col, k, bands, shingle_n)
+    from ..bucketing import write_bucketed
+
+    write_bucketed(banded, table, ["band", "bucket"], n_buckets=n_buckets, mode=mode)
+
+
+def incremental_minhash_dedup(
+    spark,
+    new_df: DataFrame,
+    index_table: str,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    report: dict | None = None,
+    caches: list | None = None,
+) -> DataFrame:
+    """Match an incoming batch against a PERSISTED corpus index without
+    re-signaturing or re-shuffling the corpus — the daily-crawl-vs-
+    100 TB-history dedup shape. Returns (new_id, corpus_id, jaccard) for
+    batch docs whose exact word-n-gram Jaccard against an indexed doc is
+    >= threshold (candidates from shared LSH band buckets, so recall is
+    the standard banding probability; 1.0 provably at threshold=1).
+
+    Scale shape: only the BATCH side is signatured here and only the batch
+    side shuffles (into the index's fixed bucket layout); corpus text is
+    touched just for verification, semi-joined down to candidate ids
+    before shingling. `k/bands/shingle_n` must match the index build —
+    they parameterize the signature, so a mismatch silently destroys
+    recall; ids must be unique across corpus and batch. `max_bucket_size`
+    guards degenerate batch-side buckets with the same drop-accounting
+    contract as minhash_candidates (the index side is assumed already
+    audited at build time via hot_bucket_report)."""
+    new_banded = compute_once(
+        minhash_banded(new_df, text_col, id_col, k, bands, shingle_n), caches
+    )
+    new_banded = guard_hot_buckets(
+        new_banded, ["band", "bucket"], max_bucket_size, report
+    )
+    idx = spark.table(index_table)
+    cand = (
+        idx.join(
+            new_banded.withColumnRenamed("_id", "_nid"),
+            ["band", "bucket"],
+        )
+        .select(F.col("_nid").alias("new_id"), F.col("_id").alias("corpus_id"))
+        .distinct()
+    )
+    sh = F.array_distinct(word_shingles(text_col, shingle_n))
+    sh_new = compute_once(
+        widen_if_narrow(new_df).select(
+            F.col(id_col).alias("new_id"), sh.alias("_sh_n")
+        ),
+        caches,
+    )
+    # prune corpus text to candidate ids BEFORE shingling: the broadcast
+    # semi-join keeps the (huge) corpus side un-shuffled — only matched
+    # rows pay the shingle projection and the pair-join shuffle. If a
+    # batch ever produces a candidate set too large to broadcast, drop
+    # the hint and let AQE pick the strategy.
+    cand = compute_once(cand, caches)
+    sh_corpus = (
+        widen_if_narrow(corpus_df)
+        .join(
+            F.broadcast(cand.select(F.col("corpus_id").alias(id_col)).distinct()),
+            id_col,
+            "leftsemi",
+        )
+        .select(F.col(id_col).alias("corpus_id"), sh.alias("_sh_c"))
+    )
+    return (
+        cand.join(sh_new, "new_id")
+        .join(sh_corpus, "corpus_id")
+        .withColumn("_i", F.size(F.array_intersect("_sh_n", "_sh_c")))
+        .withColumn(
+            "jaccard",
+            F.col("_i")
+            / (F.size("_sh_n") + F.size("_sh_c") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def ngram_jaccard_near_dups(
     df: DataFrame,
     text_col: str = "text",

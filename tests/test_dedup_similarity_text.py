@@ -1187,3 +1187,91 @@ def test_substring_dedup_hot_window(spark):
     for i in range(n):
         if i % 20 == 7:
             assert got[i] == (f"doc {i} opens uniquely", 0), i
+
+
+def test_incremental_minhash_dedup_exact_append_and_bucketed_index(spark):
+    """Batch-vs-persisted-index dedup: at threshold=1.0 exactly the planted
+    clones match (modified/novel docs never do); appending a corpus delta
+    to the index makes its clones findable without a rebuild; and the
+    bucketed index layout saves exactly one Exchange vs the same probe
+    against an unbucketed signature table."""
+    from log_analysis_ai_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+        minhash_banded,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i} eta{i}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    clones = corpus.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    modified = (
+        corpus.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+        .withColumn("doc_id", F.col("doc_id") + 2000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" novel suffix")))
+    )
+    novel = spark.createDataFrame(
+        [(3000 + i, f"totally new content row {i} nothing shared") for i in range(3)],
+        "doc_id long, text string",
+    )
+    batch = clones.unionByName(modified).unionByName(novel)
+    try:
+        build_minhash_index(corpus, "t_inc_idx", n_buckets=4)
+        out = incremental_minhash_dedup(
+            spark, batch, "t_inc_idx", corpus, threshold=1.0
+        )
+        got = {(r.new_id, r.corpus_id, r.jaccard) for r in out.collect()}
+        assert got == {(1000 + i, i, 1.0) for i in range(10)}
+
+        # append a corpus delta: its clones become findable, no rebuild
+        delta = spark.createDataFrame(
+            [(100, "fresh delta doc tokens one two three four")],
+            "doc_id long, text string",
+        )
+        build_minhash_index(delta, "t_inc_idx", n_buckets=4, mode="append")
+        full_corpus = corpus.unionByName(delta)
+        probe = delta.withColumn("doc_id", F.col("doc_id") + 5000)
+        got2 = {
+            (r.new_id, r.corpus_id)
+            for r in incremental_minhash_dedup(
+                spark, probe, "t_inc_idx", full_corpus, threshold=1.0
+            ).collect()
+        }
+        assert got2 == {(5100, 100)}
+
+        # bucketed layout: the candidate band-bucket join reads the index
+        # with ZERO exchange on its side (Bucketed: true scan; only the
+        # batch side shuffles, into the index's 4-bucket layout) — one
+        # fewer Exchange than the same join against an unbucketed
+        # signature table. Pinned on the candidate stage itself because
+        # compute_once checkpoints it out of the operator's final plan.
+        minhash_banded(corpus).write.mode("overwrite").saveAsTable("t_inc_plain")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            def cand_plan(table):
+                nb = minhash_banded(batch).withColumnRenamed("_id", "_nid")
+                cand = (
+                    spark.table(table)
+                    .join(nb, ["band", "bucket"])
+                    .select(
+                        F.col("_nid").alias("new_id"), F.col("_id").alias("corpus_id")
+                    )
+                    .distinct()
+                )
+                return cand._jdf.queryExecution().executedPlan().toString()
+
+            bucketed, plain = cand_plan("t_inc_idx"), cand_plan("t_inc_plain")
+            assert "Bucketed: true" in bucketed
+            assert bucketed.count("Exchange") == plain.count("Exchange") - 1, (
+                bucketed.count("Exchange"), plain.count("Exchange"),
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_inc_idx")
+        spark.sql("DROP TABLE IF EXISTS t_inc_plain")
