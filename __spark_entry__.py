@@ -1323,6 +1323,43 @@ def _events_stratified_cap(spark, sf_dir):
     ).orderBy("event_type", "event_id")
 
 
+def _docs_token_budget(spark, sf_dir):
+    """Per-source token-budget mixing (the Gopher/Pile 'fixed token budget
+    per source' recipe): rows are admitted in portable-hash order while the
+    inclusive running whitespace-token total stays <= 800 — a pure function
+    of the data, so the drawn corpus is identical at any parallelism/retry.
+    Runs the BUCKETED two-pass path (`cutoff_buckets=8`: per-(source,
+    hash-range-bucket) totals -> driver cutoff walk -> per-bucket window)
+    against the UNSALTED single-window oracle SQL, so the driver's hash
+    gate re-proves the bucket decomposition's losslessness every round.
+    Reference parallel: the reference has no mixing sampler; rule follows
+    Gao et al. 2020 (The Pile) / Rae et al. 2021 per-source budgets."""
+    from log_analysis_ai_spark.functions.text import token_count_ws
+    from log_analysis_ai_spark.operators.sampling import (
+        KNUTH_M,
+        knuth_hash,
+        token_budget_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_ws("text").alias("n_tokens")
+    )
+    return (
+        token_budget_sample(
+            d,
+            "source",
+            800,
+            "n_tokens",
+            "doc_id",
+            hash_expr=knuth_hash("doc_id"),
+            hash_range=KNUTH_M,
+            cutoff_buckets=8,
+        )
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("source", "doc_id")
+    )
+
+
 def _scrub_oracle_sql() -> str:
     """DuckDB rendering of _events_scrub_pii: printf rebuilds the planted
     line, then the scrub chain applies the SAME pattern strings (single
@@ -1739,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scrub_pii": _events_scrub_pii,
         "docs_sample_deterministic": _docs_sample_deterministic,
         "events_stratified_cap": _events_stratified_cap,
+        "docs_token_budget": _docs_token_budget,
         "part_type_stats": _part_type_stats,
         # -- documents / LLM-data pipeline ------------------------------
         "docs_search": _docs_search,
@@ -1757,8 +1795,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": _docs_token_stats,
         "docs_langid": _docs_langid,
         "emb_near_dups": _emb_near_dups,
-        # -- embeddings --------------------------------------------------
-        "emb_topk": _emb_topk,
         # -- headline parsers -------------------------------------------
         "syslog_roundtrip": _syslog_roundtrip,
         "grok_parse_roundtrip": _grok_parse_roundtrip,
@@ -1766,7 +1802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variants + remaining parser roundtrips (hash-oracled, judge-run)
         # (docs_clean_corpus demoted r8 for docs_substring_dedup: it is a
         # composition of langid/quality/dedup_exact/token_stats, each of
-        # which keeps its own in-window or past-cap-pinned oracle)
+        # which keeps its own in-window or past-cap-pinned oracle;
+        # emb_topk demoted r8 for docs_token_budget: emb_near_dups keeps
+        # the embedding family in-window, emb_topk stays past-cap-pinned)
+        "emb_topk": _emb_topk,
         "docs_clean_corpus": _docs_clean_corpus,
         "syslog_classic_roundtrip": _syslog_classic_roundtrip,
         "logfmt_roundtrip": _logfmt_roundtrip,
@@ -2825,6 +2864,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 2147483648 + 7) % 2147483648) * 2654435761
                   % 4294967296 < {int(0.2 * (1 << 32))}
             ORDER BY doc_id
+        """,
+        "docs_token_budget": """
+            SELECT doc_id, source, n_tokens FROM (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+                                doc_id
+                     ) AS cum
+              FROM (SELECT doc_id, source,
+                           len(string_split(text, ' ')) AS n_tokens
+                    FROM documents)
+            ) WHERE cum <= 800 ORDER BY source, doc_id
         """,
         "events_stratified_cap": """
             SELECT event_id, event_type FROM (

@@ -43,6 +43,7 @@ HEADLINE = [
     "docs_repetition_filter",
     "docs_ngram_jaccard_dups",
     "docs_substring_dedup",
+    "docs_token_budget",
 ]
 
 # queries whose first run is dominated by one-time whole-stage-codegen
@@ -96,7 +97,8 @@ METRIC_NOTES = [
     "need a footnote again, and `pipeline.wall_median_s` (median of the "
     "timed runs) alongside the best-of-N `wall_s`.",
     "r8: HEADLINE gained docs_substring_dedup (the new EXACTSUBSTR "
-    "operator); `value_comparable` excludes it.",
+    "operator) and docs_token_budget (per-source token-budget mixing); "
+    "`value_comparable` excludes both.",
 ]
 
 # the r5-era headline set — `value_comparable` sums exactly these keys (+
@@ -105,7 +107,12 @@ R5_COMPARABLE = [
     q
     for q in HEADLINE
     if q
-    not in ("docs_repetition_filter", "docs_ngram_jaccard_dups", "docs_substring_dedup")
+    not in (
+        "docs_repetition_filter",
+        "docs_ngram_jaccard_dups",
+        "docs_substring_dedup",
+        "docs_token_budget",
+    )
 ]
 
 

@@ -220,3 +220,150 @@ def hash_split(
         expr = F.when(h < bound, name) if expr is None else expr.when(h < bound, name)
     expr = expr.otherwise(names[-1])
     return df.withColumn(split_col, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_cols,
+    budget: int,
+    weight_col,
+    key_cols,
+    salt: int = 0,
+    hash_expr: Column | None = None,
+    hash_range: int = 1 << 62,
+    cutoff_buckets: int | None = None,
+    max_driver_rows: int = 4_000_000,
+) -> DataFrame:
+    """Per-group token-budget selection — the corpus-MIXING primitive
+    ("take at most B tokens from each source/domain/language"): within each
+    group, rows are ordered by deterministic hash (ties by `key_cols`) and
+    a row is kept iff the running `weight_col` total INCLUDING the row is
+    <= `budget`. Selection is a pure function of the data: the same corpus
+    is drawn at any parallelism, any retry, any day — and expressible in
+    plain SQL (`SUM(w) OVER (PARTITION BY g ORDER BY h, key) <= B`), which
+    is what the entry oracle runs.
+
+    The prefix rule is strict: the running total is over ALL rows in hash
+    order, so once a group's cumulative weight crosses the budget nothing
+    later in the order is admitted (no "skip the big row, keep a smaller
+    later one" knapsack behavior — that would make selection depend on
+    global optimization, not a row-local rule).
+
+    Scale shape (the 100 TB reading): the naive form is ONE window cumsum
+    per group — a 50 TB web-crawl domain serializes into one task.
+    `cutoff_buckets=S` defuses it LOSSLESSLY with the classic two-pass
+    distributed-quantile-by-weight pattern:
+
+      pass 1  aggregate sum(weight) per (group, hash-range bucket) — a
+              partial-aggregating groupBy, map-side combine absorbs the
+              hot group; G x S rows reach the driver (bounded: raises
+              past `max_driver_rows`).
+      driver  walk each group's buckets in hash order; find the first
+              bucket where the cumulative total crosses the budget
+              (cutoff bucket c, remaining budget r entering it).
+      pass 2  one window cumsum per (group, bucket) — the hot group now
+              runs as S parallel tasks — keep iff bucket < c, or
+              bucket = c and the within-bucket running total <= r.
+              Groups that never cross keep everything (no window needed,
+              but the per-bucket cumsum is computed uniformly; it is
+              simply never compared for those groups).
+
+    Losslessness: buckets are CONTIGUOUS hash ranges (bucket = h div
+    (hash_range/S)), so hash order = (bucket, within-bucket) lexicographic
+    order and the global prefix rule decomposes exactly: a row in bucket
+    b < c has global cumsum <= (cum through c-1) <= budget... more
+    precisely every row in buckets < c satisfies the rule because c is the
+    FIRST bucket whose cumulative total crosses; rows in bucket c satisfy
+    it iff their within-bucket cumsum <= r = budget - cum_before_c; rows
+    past c never do (the running total is monotone). The entry query runs
+    the bucketed path against the UNSALTED single-window oracle SQL, so
+    the driver's hash gate re-proves the decomposition every round.
+
+    Cost note: pass 1 + pass 2 scan the input twice (same two-pass shape
+    as `sketches.heavy_hitters`); at scale, point both at the same cached
+    or on-disk projection of (group, weight, key).
+
+    `weight_col` must be non-negative and non-null (raise-free contract:
+    NULL weights fail fast with a clear error rather than silently
+    vanishing from sums). Reference parallel: the reference engine has no
+    mixing sampler; this follows the published data-mixture recipes
+    (e.g. Gopher / The Pile fixed token budgets per source).
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    h = hash_expr if hash_expr is not None else xxhash(key_cols, salt)
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("long")
+    # fail-fast weight contract: NULL would silently vanish from SUM (both
+    # engines skip NULLs — agreeing, but hiding a data defect); negative
+    # would break the prefix rule's monotonicity the bucketed decomposition
+    # relies on. Stays inside whole-stage codegen.
+    w = F.when(w.isNotNull() & (w >= 0), w).otherwise(
+        F.raise_error(F.lit("token_budget_sample: weight must be non-null and >= 0")).cast(
+            "long"
+        )
+    )
+    order = [F.col("_h").asc()] + [F.col(c).asc() for c in key_cols]
+    base = df.withColumn("_h", h).withColumn("_w", w)
+
+    if cutoff_buckets is None or cutoff_buckets <= 1:
+        win = Window.partitionBy(*group_cols).orderBy(*order)
+        return (
+            base.withColumn("_cum", F.sum("_w").over(win))
+            .filter(F.col("_cum") <= F.lit(budget))
+            .drop("_h", "_w", "_cum")
+        )
+
+    S = int(cutoff_buckets)
+    width = max(1, hash_range // S)
+    bucket = F.floor(F.col("_h") / F.lit(width))
+    base = base.withColumn("_b", bucket)
+
+    # pass 1: per-(group, bucket) weight totals -> driver cutoff walk
+    totals = (
+        base.groupBy(*group_cols, "_b").agg(F.sum("_w").alias("_wsum")).collect()
+    )
+    if len(totals) > max_driver_rows:
+        raise ValueError(
+            f"cutoff table has {len(totals)} rows (> max_driver_rows="
+            f"{max_driver_rows}); lower cutoff_buckets or raise the cap"
+        )
+    per_group: dict = {}
+    for row in totals:
+        g = tuple(row[c] for c in group_cols)
+        per_group.setdefault(g, []).append((row["_b"], row["_wsum"]))
+    cut_rows = []
+    for g, blist in per_group.items():
+        blist.sort()
+        cum = 0
+        for b, wsum in blist:
+            if cum + wsum > budget:
+                cut_rows.append((*g, b, budget - cum))
+                break
+            cum += wsum
+        # never crossed: no cutoff row; the left join below keeps all rows
+    spark = df.sparkSession
+    cut_schema = base.select(*group_cols).schema
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cut_schema = StructType(
+        list(cut_schema.fields)
+        + [StructField("_cut_b", LongType()), StructField("_rem", LongType())]
+    )
+    cuts = spark.createDataFrame(cut_rows, cut_schema)
+
+    # pass 2: per-(group, bucket) window cumsum -- S-way parallel per group
+    win = Window.partitionBy(*group_cols, "_b").orderBy(*order)
+    out = (
+        base.withColumn("_cum", F.sum("_w").over(win))
+        .join(F.broadcast(cuts), on=group_cols, how="left")
+        .filter(
+            F.col("_cut_b").isNull()
+            | (F.col("_b") < F.col("_cut_b"))
+            | ((F.col("_b") == F.col("_cut_b")) & (F.col("_cum") <= F.col("_rem")))
+        )
+        .drop("_h", "_w", "_b", "_cum", "_cut_b", "_rem")
+    )
+    return out

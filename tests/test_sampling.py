@@ -494,3 +494,109 @@ def test_chunk_documents_narrow_plan_and_validation(spark):
         chunk_documents(df, "text", window=8, stride=9)
     with pytest.raises(ValueError):
         chunk_documents(df, "text", window=8, stride=0)
+
+
+def test_token_budget_sample_matches_bruteforce(spark):
+    """Single-stage result must equal the brute-force prefix rule computed
+    in plain Python over the portable knuth hash: per group, order rows by
+    (hash, key) and keep while the inclusive running weight <= budget."""
+    from log_analysis_ai_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, f"g{i % 3}", (i * 7) % 13 + 1) for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+
+    def kh(k):
+        return ((k % (1 << 31)) % (1 << 31)) * 2654435761 % (1 << 32)
+
+    budget = 120
+    expected = set()
+    for g in {"g0", "g1", "g2"}:
+        cum = 0
+        for i, grp, w in sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (kh(r[0]), r[0])
+        ):
+            cum += w
+            if cum <= budget:
+                expected.add((g, i))
+            else:
+                break
+    got = {
+        (r.grp, r.doc_id)
+        for r in token_budget_sample(
+            d, "grp", budget, "w", "doc_id", hash_expr=knuth_hash("doc_id")
+        ).collect()
+    }
+    assert got == expected and 0 < len(got) < 300
+
+
+def test_token_budget_bucketed_equals_plain_on_hot_group(spark):
+    """cutoff_buckets is a LOSSLESS skew defusal: on a 90%-one-group corpus
+    the two-pass (bucket totals -> driver cutoff -> per-(group, bucket)
+    window) result must be row-identical to the single-window result for
+    several S, partition counts, and both hash families."""
+    from log_analysis_ai_spark.operators.sampling import KNUTH_M, token_budget_sample
+
+    n = 4000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 != 7, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 3).cast("string")))
+        .alias("grp"),
+        ((F.col("id") * 11) % 17 + 1).alias("w"),
+    )
+    for hexpr, hrange in ((None, 1 << 62), (knuth_hash("doc_id"), KNUTH_M)):
+        plain = {
+            (r.grp, r.doc_id)
+            for r in token_budget_sample(
+                d, "grp", 900, "w", "doc_id", hash_expr=hexpr, hash_range=hrange
+            ).collect()
+        }
+        assert 0 < len(plain) < n
+        for buckets in (2, 8, 64, 100000):
+            for parts in (1, 13):
+                got = {
+                    (r.grp, r.doc_id)
+                    for r in token_budget_sample(
+                        d.repartition(parts),
+                        "grp",
+                        900,
+                        "w",
+                        "doc_id",
+                        hash_expr=hexpr,
+                        hash_range=hrange,
+                        cutoff_buckets=buckets,
+                    ).collect()
+                }
+                assert got == plain, (buckets, parts, hexpr is None)
+
+
+def test_token_budget_edges_and_weight_contract(spark):
+    """budget=0 -> empty; a group whose total fits -> kept whole; a first
+    row alone exceeding the budget empties its group (strict prefix rule:
+    the running total is over ALL rows in hash order, never 'skip the big
+    one'); NULL or negative weight fails fast."""
+    import pytest
+    from pyspark.sql.utils import CapturedException
+
+    from log_analysis_ai_spark.operators.sampling import token_budget_sample
+
+    d = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 5), (3, "b", 1000)], "doc_id long, grp string, w long"
+    )
+    assert token_budget_sample(d, "grp", 0, "w", "doc_id").count() == 0
+    kept = {
+        (r.grp, r.doc_id)
+        for r in token_budget_sample(
+            d, "grp", 10, "w", "doc_id", hash_expr=knuth_hash("doc_id")
+        ).collect()
+    }
+    # group a fits entirely (5+5 <= 10); group b's only row exceeds -> empty
+    assert kept == {("a", 1), ("a", 2)}
+    bad = spark.createDataFrame(
+        [(1, "a", None)], "doc_id long, grp string, w long"
+    )
+    with pytest.raises((CapturedException, Exception), match="non-null"):
+        token_budget_sample(bad, "grp", 10, "w", "doc_id").collect()
+    neg = spark.createDataFrame([(1, "a", -1)], "doc_id long, grp string, w long")
+    with pytest.raises((CapturedException, Exception), match="non-null"):
+        token_budget_sample(neg, "grp", 10, "w", "doc_id").collect()
