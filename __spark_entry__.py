@@ -1360,6 +1360,25 @@ def _docs_token_budget(spark, sf_dir):
     )
 
 
+def _docs_normalized(spark, sf_dir):
+    """Unicode normalization (strip controls -> NFC -> collapse ws): the
+    planted prefix puts a control char BETWEEN base 'e' and its combining
+    acute (strip-first lets NFC compose 'é'), a decomposed grave, a double
+    space, and a DEL — so the oracle exercises every step AND
+    cross-validates CPython's UAX#15 (engine) against DuckDB's utf8proc
+    (oracle), two independent implementations."""
+    from log_analysis_ai_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.lit("Cafe\x01\u0301 du\u0300  Monde\x7f: "), F.col("text"))
+    )
+    return (
+        normalize_text(d, col="text", out_col="text_norm", collapse_ws=True)
+        .select("doc_id", "text_norm")
+        .orderBy("doc_id")
+    )
+
+
 def _scrub_oracle_sql() -> str:
     """DuckDB rendering of _events_scrub_pii: printf rebuilds the planted
     line, then the scrub chain applies the SAME pattern strings (single
@@ -1827,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_chunks": _docs_chunks,
         "docs_incremental_dedup": _docs_incremental_dedup,
+        "docs_normalized": _docs_normalized,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -2864,6 +2884,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 2147483648 + 7) % 2147483648) * 2654435761
                   % 4294967296 < {int(0.2 * (1 << 32))}
             ORDER BY doc_id
+        """,
+        "docs_normalized": """
+            SELECT doc_id,
+                   regexp_replace(
+                     nfc_normalize(
+                       regexp_replace(
+                         'Cafe' || chr(1) || chr(769) || ' du' || chr(768)
+                           || '  Monde' || chr(127) || ': ' || text,
+                         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+                     '\\s+', ' ', 'g') AS text_norm
+            FROM documents ORDER BY doc_id
         """,
         "docs_token_budget": """
             SELECT doc_id, source, n_tokens FROM (

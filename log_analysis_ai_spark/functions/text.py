@@ -600,3 +600,77 @@ def c4_clean(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("n_sentences", n_sent)
         .withColumn("keep_c4", keep)
     )
+
+
+# C0 controls except \t \n \r, plus DEL — the curation-standard strip set
+# (CCNet/Dolma normalize before hashing). RE2-dialect character class.
+CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    strip_controls: bool = True,
+    collapse_ws: bool = False,
+) -> DataFrame:
+    """Unicode text normalization — the step CCNet/Dolma run BEFORE any
+    hashing/dedup so that byte-different, canonically-equal texts ("é" vs
+    "e"+U+0301) dedupe together: (1) strip C0 control chars + DEL (keeping
+    tab/newline/CR), (2) canonical-normalize to `form` (NFC default), and
+    optionally (3) collapse whitespace runs to one space. Order is
+    load-bearing: controls are stripped FIRST because a control byte
+    sitting between a base char and its combining mark blocks composition
+    — strip-then-NFC composes it, NFC-then-strip leaves it decomposed.
+
+    Engine note (discovered r8): this environment's pyarrow 16
+    `utf8_normalize` is a silent NO-OP for every form (returns its input
+    unchanged — e+U+0301 stays decomposed under form='NFC'), so the
+    normalize step uses CPython's `unicodedata.normalize` (the C
+    implementation of UAX #15) inside the same Arrow batch pass, with the
+    `unicodedata.is_normalized` quick-check so already-NFC (e.g. pure
+    ASCII) batches pay one C call per string and zero copies. The regex
+    steps stay vectorized RE2 (`pyarrow.compute.replace_substring_regex`).
+    Cross-engine oracle: DuckDB's `nfc_normalize` is utf8proc — a THIRD
+    independent UAX #15 implementation — so the entry's hash gate
+    cross-validates CPython against utf8proc every round.
+
+    Scale shape: one narrow mapInPandas pass — no shuffle, no driver
+    state; composes with any downstream dedup/fingerprint. NULL rows stay
+    NULL; non-string floats coming out of pandas (NaN for NULL) are
+    mapped back to NULL, matching both engines."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+    out = out_col or col
+    fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+    if out not in df.columns:
+        fields.append(f"`{out}` string")
+    schema = ", ".join(fields)
+
+    def norm(batches):
+        import unicodedata  # noqa: PLC0415 — worker-side import
+
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
+        for pdf in batches:
+            arr = pa.Array.from_pandas(pdf[col])
+            if strip_controls:
+                arr = pc.replace_substring_regex(
+                    arr, pattern=CONTROL_CHAR_PATTERN, replacement=""
+                )
+            vals = arr.to_pylist()
+            vals = [
+                t
+                if t is None or unicodedata.is_normalized(form, t)
+                else unicodedata.normalize(form, t)
+                for t in vals
+            ]
+            arr = pa.array(vals, type=pa.string())
+            if collapse_ws:
+                arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+            pdf[out] = arr.to_pandas()
+            yield pdf
+
+    return df.mapInPandas(norm, schema)

@@ -1275,3 +1275,71 @@ def test_incremental_minhash_dedup_exact_append_and_bucketed_index(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_inc_idx")
         spark.sql("DROP TABLE IF EXISTS t_inc_plain")
+
+
+def test_normalize_text_rules_and_engine_parity(spark):
+    """strip-controls -> unicode-normalize -> collapse-ws, each pinned on a
+    targeted row, with DuckDB's utf8proc nfc_normalize as the independent
+    UAX#15 cross-check (the entry oracle runs it corpus-wide; this pins the
+    exact planted cases)."""
+    import duckdb
+
+    from log_analysis_ai_spark.functions.text import normalize_text
+
+    rows = [
+        # control byte BETWEEN base and combining mark: strip-first lets
+        # NFC compose; NFC-first could not (order property)
+        (1, "Cafe\x01́"),
+        (2, "étude"),        # plain decomposed -> composed
+        (3, "a  b\t\nc"),          # ws collapse
+        (4, ""),                   # empty stays empty
+        (5, None),                 # NULL stays NULL
+        (6, "d\x00e\x7ff\x1fg"),   # strip set incl NUL/DEL/unit-sep
+        (7, "café"),          # already NFC: is_normalized fast path
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in normalize_text(d, collapse_ws=True).collect()
+    }
+    assert got[1] == "Café"
+    assert got[2] == "étude"
+    assert got[3] == "a b c"
+    assert got[4] == ""
+    assert got[5] is None
+    assert got[6] == "defg"
+    assert got[7] == "café"
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        oracle = con.execute(
+            "select regexp_replace(nfc_normalize(regexp_replace(?, "
+            "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')), "
+            "'\\s+', ' ', 'g')",
+            [text],
+        ).fetchone()[0]
+        assert got[doc_id] == oracle, doc_id
+
+
+def test_normalize_text_forms_flags_and_plan(spark):
+    """NFKC folds compatibility chars (ligature fi); strip/collapse flags
+    are independently togglable; the op is a narrow single pass — NO
+    Exchange in the plan; bad form raises."""
+    import pytest
+
+    from log_analysis_ai_spark.functions.text import normalize_text
+
+    d = spark.createDataFrame(
+        [(1, "ﬁle  x\x01y")], "doc_id long, text string"
+    )
+    nfkc = normalize_text(d, form="NFKC").collect()[0].text
+    assert nfkc == "file  xy"  # ligature folded, ws kept (collapse off)
+    raw = normalize_text(d, strip_controls=False).collect()[0].text
+    assert "\x01" in raw and raw.startswith("ﬁ")  # NFC keeps ligature
+    out = normalize_text(d, out_col="text_norm", collapse_ws=True)
+    assert out.columns == ["doc_id", "text", "text_norm"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="form"):
+        normalize_text(d, form="NFCX")
