@@ -1379,6 +1379,27 @@ def _docs_normalized(spark, sf_dir):
     )
 
 
+def _docs_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal (Wenzek et al. 2020), self-trained:
+    rank documents by the perplexity of an add-0.5-smoothed bigram model
+    trained on the corpus itself. Every arithmetic step (BOS bigrams,
+    Lidstone estimate, mean -ln, exp) is replayed by the DuckDB oracle,
+    so the hash gate cross-validates two engines' float paths end to end
+    (rounded 6/4 decimals; engine float-sum slack is ~1e-13 relative)."""
+    from log_analysis_ai_spark.operators.lm import lm_perplexity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        lm_perplexity(d)
+        .select(
+            "doc_id",
+            F.round("lm_cross_entropy", 6).alias("lm_cross_entropy"),
+            F.round("lm_perplexity", 4).alias("lm_perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _scrub_oracle_sql() -> str:
     """DuckDB rendering of _events_scrub_pii: printf rebuilds the planted
     line, then the scrub chain applies the SAME pattern strings (single
@@ -1847,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunks": _docs_chunks,
         "docs_incremental_dedup": _docs_incremental_dedup,
         "docs_normalized": _docs_normalized,
+        "docs_lm_perplexity": _docs_lm_perplexity,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -2884,6 +2906,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 2147483648 + 7) % 2147483648) * 2654435761
                   % 4294967296 < {int(0.2 * (1 << 32))}
             ORDER BY doc_id
+        """,
+        "docs_lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, list_prepend('<s>', string_split(text, ' ')) AS t,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t, unnest(generate_series(1, n)) AS i FROM toks
+            ), big AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx
+            ), cbt AS (
+              SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2
+            ), cut AS (
+              SELECT w1, sum(cb) AS cu FROM cbt GROUP BY 1
+            ), v AS (
+              SELECT count(DISTINCT w2) AS vs FROM cbt
+            )
+            SELECT b.doc_id,
+                   round(avg(-ln((cbt.cb + 0.5) / (cut.cu + 0.5 * v.vs))), 6)
+                     AS lm_cross_entropy,
+                   round(exp(avg(-ln((cbt.cb + 0.5) / (cut.cu + 0.5 * v.vs)))), 4)
+                     AS lm_perplexity
+            FROM big b
+            JOIN cbt USING (w1, w2) JOIN cut USING (w1) CROSS JOIN v
+            GROUP BY 1 ORDER BY 1
         """,
         "docs_normalized": """
             SELECT doc_id,
