@@ -1400,6 +1400,54 @@ def _docs_lm_perplexity(spark, sf_dir):
     )
 
 
+def _stream_dedup_kept(spark, sf_dir):
+    """STREAMING corpus dedup against the growing persisted MinHash index
+    (crawl-ingest shape): batch 1 = the documents table; batch 2 = clones
+    of doc_id%7==0 (must be dropped against the index) + suffix-modified
+    doc_id%7==1 (must be kept). Two availableNow runs over the same
+    checkpoint make the batch boundary deterministic. At threshold=1.0
+    matching is exact shingle-set equality with recall provably 1, and
+    batch-2 ids are offset above batch-1 ids, so the kept set equals
+    'min doc_id per shingle-set group' — which is the DuckDB oracle.
+    hash-ORACLED end to end through foreachBatch, the exactly-once doc
+    sink, and the at-least-once index append."""
+    import os
+
+    from log_analysis_ai_spark.streaming.stream import stream_incremental_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b2 = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 1)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(2000000))
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" entirely novel stream suffix")),
+            )
+        )
+    )
+    in_dir = _scratch("sdedup_in", sf_dir)
+    out_dir = _scratch("sdedup_out", sf_dir)
+    ckpt = _scratch("sdedup_ckpt", sf_dir)
+    table = f"sdedup_idx_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def run():
+        src = spark.readStream.schema("doc_id long, text string").json(in_dir)
+        q = stream_incremental_dedup(
+            src, table, out_dir, ckpt, threshold=1.0, n_buckets=8
+        )
+        q.awaitTermination()
+
+    d.coalesce(1).write.mode("append").json(in_dir)
+    run()
+    b2.coalesce(1).write.mode("append").json(in_dir)
+    run()
+    return spark.read.parquet(out_dir).select("doc_id").orderBy("doc_id")
+
+
 def _scrub_oracle_sql() -> str:
     """DuckDB rendering of _events_scrub_pii: printf rebuilds the planted
     line, then the scrub chain applies the SAME pattern strings (single
@@ -1869,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_incremental_dedup": _docs_incremental_dedup,
         "docs_normalized": _docs_normalized,
         "docs_lm_perplexity": _docs_lm_perplexity,
+        "stream_dedup_kept": _stream_dedup_kept,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -2906,6 +2955,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 2147483648 + 7) % 2147483648) * 2654435761
                   % 4294967296 < {int(0.2 * (1 << 32))}
             ORDER BY doc_id
+        """,
+        # kept = min doc_id per exact-3-shingle-set group: batch-2 ids are
+        # offset above batch-1 ids, so first-occurrence == global min id
+        "stream_dedup_kept": """
+            WITH uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, text || ' entirely novel stream suffix'
+              FROM documents WHERE doc_id % 7 = 1
+            ), sh AS (
+              SELECT doc_id,
+                     array_to_string(list_sort(list_distinct(list_transform(
+                       range(1, greatest(len(string_split_regex(lower(text), ' +')) - 2, 1) + 1),
+                       i -> array_to_string(string_split_regex(lower(text), ' +')[i:i+2], ' ')
+                     ))), chr(31)) AS sig
+              FROM uni
+            )
+            SELECT doc_id FROM (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS keeper
+              FROM sh
+            ) WHERE doc_id = keeper ORDER BY doc_id
         """,
         "docs_lm_perplexity": """
             WITH toks AS (

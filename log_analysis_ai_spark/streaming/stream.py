@@ -448,3 +448,145 @@ def stream_pipeline_online(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (works for HDFS/S3/abfs like
+    `_latest_generation`, not just local paths)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def incremental_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_table: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+    pairs_path: str | None = None,
+) -> None:
+    """One micro-batch of streaming corpus dedup — exposed as a plain
+    function so its retry semantics are directly testable (call it twice
+    with the same batch_id: the kept partition is REPLACED, and the
+    duplicate index signatures a retry appends are provably harmless).
+
+    Steps:
+      1. WITHIN-batch near-dup resolution (near_dup_groups: MinHash-LSH
+         pairs -> connected components -> keep-first), dropping losers.
+      2. Probe survivors against the PERSISTED corpus index
+         (incremental_minhash_dedup): only the batch side is signatured
+         or shuffled; corpus text comes from this sink's own prior
+         output, EXCLUDING the current `_batch_id` partition — which is
+         what makes a retried batch exact: signatures the failed attempt
+         already appended point at corpus ids whose text is filtered
+         out, so their candidate pairs drop in the verify join and the
+         retry reproduces the original decision.
+      3. Write kept docs (and match pairs, if `pairs_path`) partitioned
+         by `_batch_id` with dynamic partition overwrite — the
+         exactly-once half of the contract (a retry REPLACES its own
+         partition).
+      4. Append the kept docs' banded signatures to the bucketed index —
+         the AT-LEAST-ONCE half: a retry appends duplicates, but probe
+         candidates are `.distinct()` pairs of ids, so duplicate index
+         rows can never change any future batch's output (they only cost
+         index bytes; compact offline if it matters).
+
+    Ids must be unique across the whole stream (they key both halves)."""
+    from ..operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+        near_dup_groups,
+    )
+
+    caches: list = []
+    try:
+        # 1. within-batch dedup
+        labels = near_dup_groups(
+            batch_df, text_col, id_col, threshold,
+            k=k, bands=bands, shingle_n=shingle_n, caches=caches,
+        )
+        losers = labels.filter(~F.col("keep")).select(id_col)
+        survivors = batch_df.join(losers, id_col, "left_anti")
+
+        # 2. probe against the prior corpus (skip on the very first batch)
+        have_index = spark.catalog.tableExists(index_table)
+        have_corpus = _hadoop_path_exists(spark, out_path)
+        if have_index and have_corpus:
+            corpus = spark.read.parquet(out_path).filter(
+                F.col("_batch_id") != F.lit(batch_id)
+            )
+            matches = incremental_minhash_dedup(
+                spark, survivors, index_table, corpus,
+                text_col, id_col, threshold,
+                k=k, bands=bands, shingle_n=shingle_n, caches=caches,
+            )
+            if pairs_path is not None:
+                (
+                    matches.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(pairs_path)
+                )
+            dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+            kept = survivors.join(dup_ids, id_col, "left_anti")
+        else:
+            kept = survivors
+
+        # 3. exactly-once doc sink (idempotent replace of this partition)
+        (
+            kept.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+        # 4. at-least-once index append (result-idempotent; see docstring)
+        build_minhash_index(
+            spark.read.parquet(out_path).filter(F.col("_batch_id") == F.lit(batch_id)),
+            index_table, text_col, id_col, k, bands, shingle_n,
+            n_buckets=n_buckets,
+            mode="append",
+        )
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def stream_incremental_dedup(
+    stream_df: DataFrame,
+    index_table: str,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    **batch_kwargs,
+):
+    """Streaming corpus dedup against a growing persisted MinHash index —
+    the production crawl-ingest shape: each micro-batch is deduped within
+    itself, then against EVERYTHING previously kept, and survivors join
+    the corpus + index for all future batches. foreachBatch over
+    `incremental_dedup_batch` (see its docstring for the exactly-once /
+    at-least-once split); returns the StreamingQuery."""
+    spark = stream_df.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_dedup_batch(
+            spark, batch_df, batch_id, index_table, out_path, **batch_kwargs
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -466,3 +466,83 @@ def test_compact_and_restart_generation_loop(spark, tmp_path):
     allg = spark.read.parquet(base_out)
     assert {r.gen for r in allg.select("gen").distinct().collect()} == {0, 1, 2}
     assert allg.count() == 120 + 60 + 40
+
+
+def test_stream_incremental_dedup_across_batches_and_retry(spark, tmp_path):
+    """Streaming corpus dedup against the growing persisted index:
+    batch 1 dedupes within itself; batch 2 (a separate availableNow run
+    over a new file) drops its clone-of-batch-1 doc and keeps novel docs;
+    replaying a batch with the same batch_id (the foreachBatch retry
+    contract) reproduces the identical kept set even though the failed
+    attempt already appended signatures to the index."""
+    import json as _json
+
+    from log_analysis_ai_spark.streaming.stream import (
+        incremental_dedup_batch,
+        stream_incremental_dedup,
+    )
+
+    base = "The quick brown fox jumps over the lazy dog near the river bank today"
+    d1 = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1 within batch 1
+        (3, "completely different text about spark structured streaming state"),
+    ]
+    d2 = [
+        (10, base),                    # exact clone of corpus doc 1
+        (11, "a genuinely novel document mentioning bucketed minhash indexes"),
+    ]
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    out_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+    idx = "t_stream_minhash_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+    def write_file(name, rows):
+        with open(f"{in_dir}/{name}", "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run():
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(in_dir)
+        )
+        q = stream_incremental_dedup(
+            src, idx, out_dir, ckpt, threshold=0.8, shingle_n=3
+        )
+        q.awaitTermination(120)
+
+    write_file("b1.jsonl", d1)
+    run()
+    kept1 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept1 == {1, 3}  # 2 lost within-batch to 1
+
+    write_file("b2.jsonl", d2)
+    run()
+    kept2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept2 == {1, 3, 11}  # 10 matched the index; 11 novel
+    assert spark.table(idx).select("_id").distinct().count() == 3
+
+    # retry contract: replay batch 1's data under its original batch_id —
+    # the kept partition is REPLACED (not duplicated) and decisions are
+    # unchanged even though the index now holds later batches' signatures
+    # plus whatever the "failed attempt" appended.
+    replay = spark.createDataFrame(d1, "doc_id long, text string")
+    incremental_dedup_batch(
+        spark, replay, 0, idx, out_dir, threshold=0.8, shingle_n=3
+    )
+    kept_after = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept_after == {1, 3, 11}
+    # duplicate signatures exist (at-least-once index) yet change nothing:
+    # a fresh batch cloning doc 3 is still matched exactly once per corpus doc
+    probe = spark.createDataFrame(
+        [(20, "completely different text about spark structured streaming state")],
+        "doc_id long, text string",
+    )
+    incremental_dedup_batch(
+        spark, probe, 9, idx, out_dir, threshold=0.8, shingle_n=3
+    )
+    kept_final = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept_final == {1, 3, 11}  # 20 dropped as a dup of 3
+    spark.sql(f"DROP TABLE IF EXISTS {idx}")
