@@ -1448,6 +1448,27 @@ def _stream_dedup_kept(spark, sf_dir):
     return spark.read.parquet(out_dir).select("doc_id").orderBy("doc_id")
 
 
+def _emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means clusters, within-cluster
+    cosine groups, keep the least-prototypical member. At eps=1e-6 the
+    duplicate relation degenerates to exact vector equality (identical
+    float vectors land in the same cluster and verify at cos≈1; distinct
+    synthetic vectors never reach 1-1e-6), so the planted-clone fixture is
+    hash-ORACLED as min-id per identical-vector class — DuckDB partitions
+    directly on the list column. Real-eps geometry is pinned in pytest."""
+    from log_analysis_ai_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = e.filter(F.col("vec_id") % 9 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    return (
+        semantic_dedup(e.unionByName(clones), eps=1e-6, n_lists=8)
+        .select("vec_id", "group_id", "keep")
+        .orderBy("vec_id")
+    )
+
+
 def _scrub_oracle_sql() -> str:
     """DuckDB rendering of _events_scrub_pii: printf rebuilds the planted
     line, then the scrub chain applies the SAME pattern strings (single
@@ -1918,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalized": _docs_normalized,
         "docs_lm_perplexity": _docs_lm_perplexity,
         "stream_dedup_kept": _stream_dedup_kept,
+        "emb_semantic_dedup": _emb_semantic_dedup,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -2955,6 +2977,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 2147483648 + 7) % 2147483648) * 2654435761
                   % 4294967296 < {int(0.2 * (1 << 32))}
             ORDER BY doc_id
+        """,
+        # at eps=1e-6 SemDeDup groups == identical-vector classes; keeper
+        # = min id (equal vectors tie on centroid_sim, id breaks the tie)
+        "emb_semantic_dedup": """
+            WITH uni AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings
+              WHERE vec_id % 9 = 0
+            ), g AS (
+              SELECT vec_id,
+                     min(vec_id) OVER (PARTITION BY embedding) AS gid,
+                     count(*) OVER (PARTITION BY embedding) AS c
+              FROM uni
+            )
+            SELECT vec_id, gid AS group_id, vec_id = gid AS keep
+            FROM g WHERE c > 1 ORDER BY vec_id
         """,
         # kept = min doc_id per exact-3-shingle-set group: batch-2 ids are
         # offset above batch-1 ids, so first-occurrence == global min id

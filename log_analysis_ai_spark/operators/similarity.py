@@ -511,3 +511,128 @@ def near_dup_embeddings(
             yield out[out["cosine"] >= threshold]
 
     return pairs.mapInPandas(verify, schema="id_a long, id_b long, cosine double")
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Nearest-centroid id AND cosine-to-that-centroid per vector, in ONE
+    Arrow-batched matmul (the x·c products serve both the argmin and the
+    cosine numerator)."""
+    cent = centroids.astype("float64")
+    cnorm = np.linalg.norm(cent, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+
+    @F.pandas_udf("struct<list: int, csim: double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        prod = m @ cent.T
+        d = -2.0 * prod + (cent * cent).sum(1)[None, :]
+        lists = d.argmin(1)
+        xnorm = np.linalg.norm(m, axis=1)
+        xnorm[xnorm == 0.0] = 1.0
+        csim = prod[np.arange(len(m)), lists] / (xnorm * cnorm[lists])
+        return pd.DataFrame({"list": lists.astype("int32"), "csim": csim})
+
+    return assign
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 0.05,
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    max_cluster_size: int | None = None,
+    report: dict | None = None,
+    caches: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — k-means the corpus into
+    `n_lists` clusters, compare pairs ONLY within a cluster, group
+    members whose cosine similarity is >= 1 − eps, and keep ONE document
+    per group: the member with the LOWEST cosine similarity to its
+    cluster centroid (the paper's §3 keep rule — retain the least
+    prototypical example), ties broken by id so the survivor set is a
+    pure function of the data.
+
+    Returns (id, group_id, keep, centroid_sim) for documents that belong
+    to a duplicate group; documents with no semantic duplicate are absent
+    (implicitly kept) — the `near_dup_groups` convention, so downstream
+    `filter(~keep)` anti-joins compose identically.
+
+    Scale shape: the quantizer is the IVF trainer (`ivf_centroids`:
+    driver-side k-means on a bounded, deterministic sample — cost
+    independent of corpus size); assignment + centroid-sim is ONE Arrow
+    matmul pass; the pair stage reuses the near_dup_embeddings shuffle
+    discipline — the cluster self-join ships only (id, list) and vectors
+    re-attach by slim id-joins, so cluster skew never multiplies the
+    vector payload. Within-cluster pairing is quadratic in cluster size
+    BY DESIGN (the paper's trade: n_lists controls it — they use k≈11k
+    for 5B docs); `max_cluster_size` adds the standard guard_hot_buckets
+    drop-accounting cap for degenerate corpora. The verify stage is the
+    same float64 Arrow cosine as near_dup_embeddings.
+
+    Oracle note: at eps≈0 the duplicate relation degenerates to
+    vector equality, making the entry hash-oracle-able (min-id per
+    identical-vector class); real eps is covered by geometry tests."""
+    from .dedup import compute_once, connected_components, guard_hot_buckets
+
+    if not 0.0 <= eps < 1.0:
+        raise ValueError(f"eps must be in [0, 1), got {eps}")
+    cent = ivf_centroids(df, vec_col, id_col, n_lists, sample_size, iters)
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    assigned = compute_once(
+        vecs.withColumn("_a", ivf_assign_udf(cent)(F.col("_v"))).select(
+            "_id", F.col("_a.list").alias("_list"), F.col("_a.csim").alias("_csim")
+        ),
+        caches,
+    )
+    slim = guard_hot_buckets(
+        assigned.select("_id", "_list"), ["_list"], max_cluster_size, report
+    )
+    l, r = slim.alias("l"), slim.alias("r")
+    id_pairs = l.join(
+        r, (F.col("l._list") == F.col("r._list")) & (F.col("l._id") < F.col("r._id"))
+    ).select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    pairs = (
+        id_pairs.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
+        )
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b")
+        .select("id_a", "id_b", "va", "vb")
+    )
+    threshold = 1.0 - eps
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["va"].to_numpy()).astype("float64")
+            c = np.stack(pdf["vb"].to_numpy()).astype("float64")
+            na = np.linalg.norm(a, axis=1)
+            nc = np.linalg.norm(c, axis=1)
+            na[na == 0.0] = 1.0
+            nc[nc == 0.0] = 1.0
+            cos = np.einsum("ij,ij->i", a, c) / (na * nc)
+            out = pdf[["id_a", "id_b"]].copy()
+            out["cosine"] = cos
+            yield out[out["cosine"] >= threshold]
+
+    dup_pairs = pairs.mapInPandas(
+        verify, schema="id_a long, id_b long, cosine double"
+    )
+    labels = connected_components(dup_pairs.select("id_a", "id_b"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy(F.col("_csim").asc(), F.col("node").asc())
+    return (
+        labels.join(assigned.select(F.col("_id").alias("node"), "_csim"), "node")
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col("node").alias(id_col),
+            F.col("label").alias("group_id"),
+            (F.col("_rk") == 1).alias("keep"),
+            F.col("_csim").alias("centroid_sim"),
+        )
+    )

@@ -1343,3 +1343,79 @@ def test_normalize_text_forms_flags_and_plan(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="form"):
         normalize_text(d, form="NFCX")
+
+
+def test_semantic_dedup_geometry_and_keep_rule(spark):
+    """SemDeDup on planted geometry: two well-separated clusters; inside
+    cluster A three near-identical vectors (pairwise cos > 1-eps) of which
+    the LEAST-prototypical (lowest centroid cosine) must be the keeper;
+    the far-off member of A and all of B are singletons (absent rows).
+    Brute-force check uses the operator's own deterministic centroids."""
+    import numpy as np
+
+    from log_analysis_ai_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [10.0, 0.0, 0.1]),
+        (2, [10.0, 0.0, 0.0]),   # ~same direction as 1
+        (3, [10.0, 0.05, 0.05]), # ~same direction as 1
+        (4, [7.0, 7.0, 0.0]),    # cluster A-ish but distinct direction
+        (5, [0.0, 0.0, 9.0]),    # cluster B
+        (6, [0.1, 0.0, 9.0]),    # cluster B, near-dup of 5
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    eps = 0.002
+    out = {r.vec_id: r for r in semantic_dedup(d, eps=eps, n_lists=2).collect()}
+    # groups: {1,2,3} and {5,6}; 4 is a singleton (absent)
+    assert set(out) == {1, 2, 3, 5, 6}
+    assert len({out[i].group_id for i in (1, 2, 3)}) == 1
+    assert len({out[i].group_id for i in (5, 6)}) == 1
+    assert out[1].group_id != out[5].group_id
+    # keep rule: lowest centroid_sim within each group, ties by id
+    cent = ivf_centroids(d, n_lists=2).astype("float64")
+
+    def csim(v):
+        m = np.asarray(v, dtype="float64")
+        # mirror ivf_assign_udf: argmin over -2x·c + ||c||², float64 cents
+        d2 = -2.0 * (m @ cent.T) + (cent * cent).sum(1)
+        c = cent[d2.argmin()]
+        return float(m @ c / (np.linalg.norm(m) * np.linalg.norm(c)))
+
+    for group in ({1, 2, 3}, {5, 6}):
+        expect_keeper = min(group, key=lambda i: (csim(rows[i - 1][1]), i))
+        keepers = {i for i in group if out[i].keep}
+        assert keepers == {expect_keeper}, group
+        for i in group:
+            assert out[i].centroid_sim == pytest.approx(csim(rows[i - 1][1]), abs=1e-12)
+
+
+def test_semantic_dedup_invariance_and_validation(spark):
+    import pytest as _pytest
+
+    from log_analysis_ai_spark.operators.similarity import semantic_dedup
+
+    d = spark.range(60).selectExpr(
+        "id AS vec_id",
+        "array(cast(id % 5 AS double), cast((id % 5) * 2 AS double), 1.0d) AS embedding",
+    )
+    base = {
+        (r.vec_id, r.group_id, r.keep)
+        for r in semantic_dedup(d, eps=1e-9, n_lists=4).collect()
+    }
+    again = {
+        (r.vec_id, r.group_id, r.keep)
+        for r in semantic_dedup(d.repartition(7), eps=1e-9, n_lists=4).collect()
+    }
+    assert base == again and len(base) > 0
+    # exactly one keeper per group, keeper id == group label (min id here)
+    per: dict = {}
+    for vec_id, gid, keep in base:
+        per.setdefault(gid, []).append((vec_id, keep))
+    for gid, members in per.items():
+        assert sum(1 for _, k in members if k) == 1
+        assert min(v for v, _ in members) == gid
+    with _pytest.raises(ValueError, match="eps"):
+        semantic_dedup(d, eps=1.0)
