@@ -1036,3 +1036,30 @@ def decontaminate(
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     return train.join(hit, train[id_col] == hit["_cid"], "left_anti")
+
+
+def compact_minhash_index(spark, table: str, n_buckets: int = 64) -> int:
+    """Deduplicate a MinHash index's signature rows in place — the offline
+    compaction the streaming sink's AT-LEAST-ONCE append contract defers
+    to (`streaming.incremental_dedup_batch` step 4: a retried batch
+    appends duplicate (_id, band, bucket) rows; they are provably harmless
+    to probe RESULTS but cost index bytes and candidate-join work).
+
+    Distinct rows are rewritten through a staging table and swapped in via
+    the catalog (write staging → drop original → rename), preserving the
+    bucketed layout the zero-Exchange probe relies on — overwriting a
+    table that is also the read source in one job is not safe, hence the
+    stage-and-swap. Returns the number of duplicate rows removed. The swap
+    window is not atomic for CONCURRENT probes (run compaction when the
+    stream is quiesced, e.g. between availableNow runs)."""
+    from ..bucketing import write_bucketed
+
+    before = spark.table(table).count()
+    distinct = spark.table(table).distinct()
+    staging = f"{table}__compact_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_bucketed(distinct, staging, ["band", "bucket"], n_buckets=n_buckets)
+    after = spark.table(staging).count()
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    return before - after

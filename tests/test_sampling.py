@@ -600,3 +600,25 @@ def test_token_budget_edges_and_weight_contract(spark):
     neg = spark.createDataFrame([(1, "a", -1)], "doc_id long, grp string, w long")
     with pytest.raises((CapturedException, Exception), match="non-null"):
         token_budget_sample(neg, "grp", 10, "w", "doc_id").collect()
+
+
+def test_token_budget_bucketed_plan_shape(spark):
+    """The defused plan must show (a) the pass-2 window partitioned by
+    (group, bucket) — S-way parallel per group, never group-only — and
+    (b) the driver cutoff table joined by BROADCAST (it is G×S rows);
+    no CartesianProduct anywhere."""
+    from log_analysis_ai_spark.operators.sampling import token_budget_sample
+
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        ((F.col("id") * 3) % 11 + 1).alias("w"),
+    )
+    out = token_budget_sample(d, "grp", 200, "w", "doc_id", cutoff_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the window's partition spec carries the bucket column _b
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("_b" in ln for ln in win_lines), win_lines
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

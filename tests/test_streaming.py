@@ -545,4 +545,28 @@ def test_stream_incremental_dedup_across_batches_and_retry(spark, tmp_path):
     )
     kept_final = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert kept_final == {1, 3, 11}  # 20 dropped as a dup of 3
+
+    # offline compaction removes the duplicate signature rows the retry
+    # appended, keeps the bucketed layout (zero-Exchange probes), and
+    # changes no probe decision
+    from log_analysis_ai_spark.operators.dedup import compact_minhash_index
+
+    total = spark.table(idx).count()
+    distinct_rows = spark.table(idx).distinct().count()
+    assert total > distinct_rows  # the replay really did duplicate rows
+    removed = compact_minhash_index(spark, idx, n_buckets=64)
+    assert removed == total - distinct_rows
+    assert spark.table(idx).count() == distinct_rows
+    desc = spark.sql(f"DESCRIBE EXTENDED {idx}").collect()
+    assert any("band" in str(r) and "Bucket" in str(r.col_name) for r in desc) or any(
+        "Num Buckets" in str(r.col_name) for r in desc
+    )
+    probe2 = spark.createDataFrame(
+        [(30, "completely different text about spark structured streaming state")],
+        "doc_id long, text string",
+    )
+    incremental_dedup_batch(
+        spark, probe2, 10, idx, out_dir, threshold=0.8, shingle_n=3
+    )
+    assert {r.doc_id for r in spark.read.parquet(out_dir).collect()} == {1, 3, 11}
     spark.sql(f"DROP TABLE IF EXISTS {idx}")
