@@ -1469,6 +1469,35 @@ def _emb_semantic_dedup(spark, sf_dir):
     )
 
 
+def _docs_upsampled(spark, sf_dir):
+    """Deterministic fractional upsampling (The Pile's 'epochs per source'
+    mixing): floor(w) copies plus one extra iff the portable hash falls
+    under frac(w) — E[copies]=w with a replay-stable copy set. The planted
+    epochs sweep 0.8..3.2 so the oracle exercises w<1 drops, pure-integer
+    weights, and multi-copy expansion. hash-ORACLED (DuckDB replays floor/
+    frac/threshold and generate_series exactly)."""
+    from log_analysis_ai_spark.operators.sampling import (
+        KNUTH_M,
+        knuth_hash,
+        upsample_by_weight,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.lit(0.8) + (F.col("doc_id") % 40) / F.lit(16.0)).alias("epochs")
+    )
+    return (
+        upsample_by_weight(
+            d,
+            F.col("epochs"),
+            "doc_id",
+            hash_expr=knuth_hash("doc_id", salt=3),
+            hash_range=KNUTH_M,
+        )
+        .select("doc_id", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
 def _scrub_oracle_sql() -> str:
     """DuckDB rendering of _events_scrub_pii: printf rebuilds the planted
     line, then the scrub chain applies the SAME pattern strings (single
@@ -1940,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_perplexity": _docs_lm_perplexity,
         "stream_dedup_kept": _stream_dedup_kept,
         "emb_semantic_dedup": _emb_semantic_dedup,
+        "docs_upsampled": _docs_upsampled,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -2977,6 +3007,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id % 2147483648 + 7) % 2147483648) * 2654435761
                   % 4294967296 < {int(0.2 * (1 << 32))}
             ORDER BY doc_id
+        """,
+        "docs_upsampled": """
+            WITH w AS (
+              SELECT doc_id, 0.8 + (doc_id % 40) / 16.0 AS epochs
+              FROM documents
+            ), n AS (
+              SELECT doc_id,
+                     CAST(floor(epochs) AS INT)
+                     + CASE WHEN ((doc_id % 2147483648 + 3) % 2147483648)
+                                 * 2654435761 % 4294967296
+                                 < (epochs - floor(epochs)) * 4294967296
+                            THEN 1 ELSE 0 END AS nc
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(unnest(generate_series(0, nc - 1)) AS INT) AS copy_idx
+            FROM n WHERE nc > 0 ORDER BY doc_id, copy_idx
         """,
         # at eps=1e-6 SemDeDup groups == identical-vector classes; keeper
         # = min id (equal vectors tie on centroid_sim, id breaks the tie)

@@ -367,3 +367,52 @@ def token_budget_sample(
         .drop("_h", "_w", "_b", "_cum", "_cut_b", "_rem")
     )
     return out
+
+
+def upsample_by_weight(
+    df: DataFrame,
+    weight,
+    key_cols,
+    salt: int = 0,
+    hash_expr: Column | None = None,
+    hash_range: int = 1 << 62,
+    copy_col: str = "copy_idx",
+    max_weight: float = 1000.0,
+) -> DataFrame:
+    """Deterministic FRACTIONAL upsampling — the 'epochs per source' side
+    of corpus mixing (The Pile samples some sources at 1.5-3 epochs;
+    Gopher/LLaMA mixtures likewise repeat high-quality sources): each row
+    is emitted floor(w) times, plus one extra copy iff hash(key, salt)
+    falls under frac(w) — so E[copies] = w exactly, yet the realized copy
+    set is a PURE FUNCTION of the data: the same rows are duplicated at
+    any parallelism, any retry, any re-run (df.sample-style RNG would
+    re-roll the corpus every run), and the whole rule is plain SQL for
+    the oracle. `weight` may be a literal or any numeric Column (e.g. a
+    per-source epochs map joined on).
+
+    Output adds `copy_col` (0-based copy index) so downstream packing /
+    shuffling can distinguish copies. Rows with w <= 0 vanish; w is
+    capped by `max_weight` (fail-fast raise inside codegen) because a
+    runaway weight column multiplying the corpus 10^6× is a data defect,
+    not a mixture.
+
+    Scale shape: a narrow whole-stage-codegen Generate (explode of
+    sequence(0, n_copies-1)) — no shuffle, no RNG state, no driver work;
+    composes with token_budget_sample for combined up/down mixing."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = F.col(weight) if isinstance(weight, str) else (
+        weight if isinstance(weight, Column) else F.lit(float(weight))
+    )
+    w = w.cast("double")
+    w = F.when(w.isNull() | (w > max_weight), F.raise_error(
+        F.lit(f"upsample_by_weight: weight must be non-null and <= {max_weight}")
+    ).cast("double")).otherwise(w)
+    h = hash_expr if hash_expr is not None else xxhash(key_cols, salt)
+    extra = (h < (w - F.floor(w)) * F.lit(float(hash_range))).cast("int")
+    n = (F.floor(w).cast("long") + extra).cast("int")
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )

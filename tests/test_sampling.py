@@ -622,3 +622,69 @@ def test_token_budget_bucketed_plan_shape(spark):
     assert any("_b" in ln for ln in win_lines), win_lines
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_upsample_by_weight_matches_bruteforce(spark):
+    """Copy counts must equal the brute-force rule floor(w) + [hash <
+    frac(w)·range] computed in Python over the portable knuth hash;
+    integer weights give exactly w copies independent of hash; w <= 0
+    rows vanish; copy indices are dense 0..n-1."""
+    from log_analysis_ai_spark.operators.sampling import (
+        KNUTH_M,
+        knuth_hash,
+        upsample_by_weight,
+    )
+
+    rows = [(i, [0.0, 0.4, 1.0, 1.5, 2.0, 3.7, -1.0][i % 7]) for i in range(140)]
+    d = spark.createDataFrame(rows, "doc_id long, w double")
+    got: dict = {}
+    out = upsample_by_weight(
+        d, F.col("w"), "doc_id", hash_expr=knuth_hash("doc_id", salt=3),
+        hash_range=KNUTH_M,
+    ).collect()
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.copy_idx)
+
+    def kh(k, salt):
+        return ((k % (1 << 31) + salt) % (1 << 31)) * 2654435761 % (1 << 32)
+
+    import math
+
+    for i, w in rows:
+        n = int(math.floor(w)) + (1 if kh(i, 3) < (w - math.floor(w)) * KNUTH_M else 0) if w > 0 else (
+            int(math.floor(w)) + (1 if kh(i, 3) < (w - math.floor(w)) * KNUTH_M else 0)
+        )
+        n = max(n, 0)
+        if n == 0:
+            assert i not in got, i
+        else:
+            assert sorted(got[i]) == list(range(n)), (i, w)
+    # integer weights: exactly w copies for every row with that weight
+    assert all(sorted(got[i]) == [0] for i, w in rows if w == 1.0)
+    assert all(sorted(got[i]) == [0, 1] for i, w in rows if w == 2.0)
+
+
+def test_upsample_plan_narrow_invariant_and_guards(spark):
+    import pytest as _pytest
+
+    from log_analysis_ai_spark.operators.sampling import upsample_by_weight
+
+    d = spark.range(100).select(
+        F.col("id").alias("doc_id"), (1.0 + (F.col("id") % 3) / 2.0).alias("w")
+    )
+    out = upsample_by_weight(d, F.col("w"), "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" in plan
+    a = {(r.doc_id, r.copy_idx) for r in out.collect()}
+    b = {
+        (r.doc_id, r.copy_idx)
+        for r in upsample_by_weight(d.repartition(9), F.col("w"), "doc_id").collect()
+    }
+    assert a == b and len(a) > 100
+    with _pytest.raises(Exception, match="non-null"):
+        upsample_by_weight(
+            spark.createDataFrame([(1, None)], "doc_id long, w double"),
+            F.col("w"), "doc_id",
+        ).collect()
+    with _pytest.raises(Exception, match="<="):
+        upsample_by_weight(d, F.lit(1e9), "doc_id").collect()
