@@ -1463,7 +1463,7 @@ def _emb_semantic_dedup(spark, sf_dir):
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
     return (
-        semantic_dedup(e.unionByName(clones), eps=1e-6, n_lists=8)
+        semantic_dedup(e.unionByName(clones), eps=1e-6, n_lists=16)
         .select("vec_id", "group_id", "keep")
         .orderBy("vec_id")
     )

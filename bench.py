@@ -44,6 +44,7 @@ HEADLINE = [
     "docs_ngram_jaccard_dups",
     "docs_substring_dedup",
     "docs_token_budget",
+    "docs_lm_perplexity",
 ]
 
 # queries whose first run is dominated by one-time whole-stage-codegen
@@ -97,8 +98,9 @@ METRIC_NOTES = [
     "need a footnote again, and `pipeline.wall_median_s` (median of the "
     "timed runs) alongside the best-of-N `wall_s`.",
     "r8: HEADLINE gained docs_substring_dedup (the new EXACTSUBSTR "
-    "operator) and docs_token_budget (per-source token-budget mixing); "
-    "`value_comparable` excludes both.",
+    "operator), docs_token_budget (per-source token-budget mixing), and "
+    "docs_lm_perplexity (CCNet-style bigram LM scoring); "
+    "`value_comparable` excludes all three.",
 ]
 
 # the r5-era headline set — `value_comparable` sums exactly these keys (+
@@ -112,6 +114,7 @@ R5_COMPARABLE = [
         "docs_ngram_jaccard_dups",
         "docs_substring_dedup",
         "docs_token_budget",
+        "docs_lm_perplexity",
     )
 ]
 
