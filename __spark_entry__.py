@@ -1498,6 +1498,54 @@ def _docs_upsampled(spark, sf_dir):
     )
 
 
+_HTML_WRAP_PREFIX = '<html><head><style>p{color:red}</style></head><body><p class="d">'
+_HTML_WRAP_SUFFIX = (
+    '</p><!-- note --><script>var p="</p>";</script><br>&amp;amp; &lt;b&gt;&nbsp;fin</body></html>'
+)
+
+
+def _docs_html_stripped(spark, sf_dir):
+    """HTML->text extraction (CCNet/Dolma pre-curation step): every doc is
+    wrapped in a planted page whose script payload hides a '</p>' inside a
+    string (strip order must not truncate there), plus comment, style,
+    block tags, and one-level entities ('&amp;amp;' must yield literal
+    '&amp;'). The oracle replays the SAME pattern chain (single source:
+    HTML_STRIP_PATTERNS / HTML_ENTITY_REPLACEMENTS) in DuckDB."""
+    from log_analysis_ai_spark.functions.text import strip_html
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.lit(_HTML_WRAP_PREFIX), F.col("text"), F.lit(_HTML_WRAP_SUFFIX)),
+    )
+    return (
+        strip_html(d, col="text", out_col="text_clean")
+        .select("doc_id", "text_clean")
+        .orderBy("doc_id")
+    )
+
+
+def _html_oracle_sql() -> str:
+    """DuckDB rendering of _docs_html_stripped from the same pattern
+    tuples (the scrub-oracle convention: duckdb single-quoted literals
+    keep backslashes verbatim, Spark regexp_replace is global -> 'g')."""
+    from log_analysis_ai_spark.functions.text import (
+        HTML_ENTITY_REPLACEMENTS,
+        HTML_STRIP_PATTERNS,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = f"{lit(_HTML_WRAP_PREFIX)} || text || {lit(_HTML_WRAP_SUFFIX)}"
+    for pat, repl in HTML_STRIP_PATTERNS:
+        r = "chr(10)" if repl == "\n" else lit(repl)
+        expr = f"regexp_replace({expr}, {lit(pat)}, {r}, 'g')"
+    for ent, ch in HTML_ENTITY_REPLACEMENTS:
+        expr = f"replace({expr}, {lit(ent)}, {lit(ch)})"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
+
+
 def _scrub_oracle_sql() -> str:
     """DuckDB rendering of _events_scrub_pii: printf rebuilds the planted
     line, then the scrub chain applies the SAME pattern strings (single
@@ -1970,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_kept": _stream_dedup_kept,
         "emb_semantic_dedup": _emb_semantic_dedup,
         "docs_upsampled": _docs_upsampled,
+        "docs_html_stripped": _docs_html_stripped,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -2931,6 +2980,7 @@ def oracle_sql() -> dict[str, str]:
         # scrub oracle: the SAME pattern strings (Java-regex ∩ RE2 dialect),
         # chained innermost-first exactly like the Spark expression
         "events_scrub_pii": _scrub_oracle_sql(),
+        "docs_html_stripped": _html_oracle_sql(),
         # sampling oracles: selection reproduced by the engine-portable
         # Knuth hash ((key mod 2^31 + salt) mod 2^31 * 2654435761 mod 2^32)
         # — pure row functions, so even SAMPLING is hash-oracled. The mod-2^31

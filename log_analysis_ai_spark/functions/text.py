@@ -674,3 +674,67 @@ def normalize_text(
             yield pdf
 
     return df.mapInPandas(norm, schema)
+
+
+# Ordered HTML strip chain (Java-regex ∩ RE2 dialect, like
+# DEFAULT_SCRUB_PATTERNS): comments and script/style WITH their content
+# first (non-greedy to the first closer), then block-level closers to
+# newline (paragraph boundaries survive for sentence-level rules), then
+# any remaining tag to a space (so adjacent words never fuse).
+HTML_STRIP_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?is)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>", "\n"),
+    (r"(?is)</?[a-z][^>]*>", " "),
+)
+
+# One-level named-entity decode, AFTER tag stripping so decoded text can
+# never be re-parsed as markup ('&lt;script&gt;' becomes literal
+# '<script>' text, not a strippable tag). '&amp;' must decode LAST:
+# '&amp;lt;' correctly yields the literal '&lt;'. Numeric entities other
+# than &#39; are out of scope (a full decoder needs per-match codepoint
+# synthesis, which neither JVM regexp_replace nor the SQL oracle can
+# express; documented, not silent).
+HTML_ENTITY_REPLACEMENTS: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(df: DataFrame, col: str = "text", out_col: str | None = None,
+               collapse_ws: bool = True) -> DataFrame:
+    """HTML → text extraction for web-crawl curation (the step CCNet runs
+    on WET records and Dolma on raw HTML before any quality/dedup rule):
+    drop comments and script/style blocks WITH their payloads, convert
+    block-level boundaries to newlines, strip remaining tags to spaces,
+    decode the common named entities one level, and (default) collapse
+    whitespace + trim.
+
+    A regex chain is NOT a browser parser — no numeric-entity synthesis
+    (see HTML_ENTITY_REPLACEMENTS), no CDATA, no malformed-nesting
+    recovery; for boilerplate-quality extraction (trafilatura/readability)
+    plug an external library at this same column boundary. What IS
+    guaranteed: stray '<' followed by non-letters survives ('a < b',
+    '<3'), a '</p>' hiding inside a script string does not truncate the
+    strip (script removal runs first), and decoded entities are inert
+    text (decode runs after stripping).
+
+    Scale shape: one narrow whole-stage-codegen projection — an ordered
+    JVM regexp_replace/replace chain exactly like scrub_pii, no shuffle,
+    no Python. Patterns are Java-regex ∩ RE2 by contract so the DuckDB
+    oracle replays them verbatim."""
+    out = out_col or col
+    expr = F.col(col)
+    for pat, repl in HTML_STRIP_PATTERNS:
+        expr = F.regexp_replace(expr, pat, repl)
+    for ent, ch in HTML_ENTITY_REPLACEMENTS:
+        expr = F.replace(expr, F.lit(ent), F.lit(ch))
+    if collapse_ws:
+        expr = F.trim(F.regexp_replace(expr, r"\s+", " "))
+    return df.withColumn(out, expr)

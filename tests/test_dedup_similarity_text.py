@@ -1419,3 +1419,67 @@ def test_semantic_dedup_invariance_and_validation(spark):
         assert min(v for v, _ in members) == gid
     with _pytest.raises(ValueError, match="eps"):
         semantic_dedup(d, eps=1.0)
+
+
+def test_strip_html_rules_and_duckdb_parity(spark):
+    """Targeted rows pin each rule: script/style payloads removed whole
+    (incl. a '</p>' hidden in a script string), comments gone, block
+    closers become line breaks, stray '<' survives, entities decode ONE
+    level after stripping, NULL stays NULL; each non-null row is
+    cross-checked against DuckDB replaying the same pattern chain."""
+    import duckdb
+
+    from log_analysis_ai_spark.functions.text import (
+        HTML_ENTITY_REPLACEMENTS,
+        HTML_STRIP_PATTERNS,
+        strip_html,
+    )
+
+    rows = [
+        (1, '<p>Hello <b>world</b></p><p>next</p>'),
+        (2, '<script>var p="</p>";</script>after'),
+        (3, '<style>p{}</style>kept<!-- gone -->'),
+        (4, 'a < b and <3 stay'),
+        (5, '&amp;amp; &lt;script&gt;x&lt;/script&gt;'),
+        (6, 'A<br>B</div>C'),
+        (7, None),
+        (8, '<SCRIPT SRC="x">y</SCRIPT><P CLASS="z">case</P>'),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in strip_html(d).collect()}
+    assert got[1] == "Hello world next"
+    assert got[2] == "after"
+    assert got[3] == "kept"
+    assert got[4] == "a < b and <3 stay"
+    # one-level decode, inert text: literal '&amp;' and '<script>' remain
+    assert got[5] == "&amp; <script>x</script>"
+    assert got[6] == "A B C"
+    assert got[7] is None
+    assert got[8] == "case"
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        expr, params = "?", [text]
+        for pat, repl in HTML_STRIP_PATTERNS:
+            expr = f"regexp_replace({expr}, ?, ?, 'g')"
+            params += [pat, repl]
+        for ent, ch in HTML_ENTITY_REPLACEMENTS:
+            expr = f"replace({expr}, ?, ?)"
+            params += [ent, ch]
+        expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+        # duckdb binds ?s in textual order: text first, then chain args
+        oracle = con.execute(f"select {expr}", params).fetchone()[0]
+        assert got[doc_id] == oracle, doc_id
+
+
+def test_strip_html_plan_narrow_and_flags(spark):
+    from log_analysis_ai_spark.functions.text import strip_html
+
+    d = spark.createDataFrame([(1, "<p>x  y</p>")], "doc_id long, text string")
+    out = strip_html(d, out_col="clean", collapse_ws=False)
+    assert out.columns == ["doc_id", "text", "clean"]
+    # collapse off: the tag replacements' raw spaces/newlines survive
+    assert out.collect()[0].clean != "x y"
+    plan = strip_html(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
