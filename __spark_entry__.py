@@ -1546,6 +1546,30 @@ def _html_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
 
 
+def _docs_bpe_tokens(spark, sf_dir):
+    """BPE tokenizer train + encode (Sennrich et al. 2016): 60 merges
+    learned from the corpus's capped word-frequency table (distributed
+    count, driver-side sequential merge learning — the published
+    algorithm), then one Arrow encode pass. ROWS-ONLY by design: training
+    is iterative (merge k+1's counts depend on merge k's rewrite), so no
+    SQL oracle can replay it; brute-force parity lives in
+    tests/test_bpe.py. Output is deterministic (lexicographic tie-breaks
+    end to end)."""
+    from log_analysis_ai_spark.operators.bpe import bpe_encode, train_bpe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(d, num_merges=60, max_word_shapes=50_000)
+    return (
+        bpe_encode(d, merges)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").alias("n_bpe"),
+            F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("bpe_preview"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _scrub_oracle_sql() -> str:
     """DuckDB rendering of _events_scrub_pii: printf rebuilds the planted
     line, then the scrub chain applies the SAME pattern strings (single
@@ -2025,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle — LSH banding recall is approximate by
         # design: measured 24/25 true Jaccard>=0.8 pairs recalled at sf0.01,
         # the miss being the ~0.2% no-band-collision case at J=0.9):
+        "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_minhash_near_dups": _docs_minhash_near_dups,
         "docs_simhash_near_dups": _docs_simhash_near_dups,
         "emb_ann_topk": _emb_ann_topk,

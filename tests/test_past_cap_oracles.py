@@ -40,8 +40,12 @@ def _past_cap_names():
 
 
 def test_registry_shape():
-    """75 entries, the first 50 all oracled (the driver window), and the
-    only no-oracle entries are the five documented rows-only queries."""
+    """The first 50 entries are all oracled (the driver window), and the
+    only no-oracle entries are the documented rows-only queries: the five
+    approximate-by-design ones plus docs_bpe_tokens (iterative training —
+    each merge rewrites the table the next count runs on — is not
+    SQL-expressible; pinned instead by brute-force parity in
+    tests/test_bpe.py)."""
     import __spark_entry__ as entry
 
     qs = list(entry.queries())
@@ -54,6 +58,7 @@ def test_registry_shape():
         "emb_ann_topk",
         "emb_ann_topk_indexed",
         "media_features",
+        "docs_bpe_tokens",
     }
 
 
