@@ -1546,6 +1546,31 @@ def _html_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
 
 
+def _docs_nb_classifier(spark, sf_dir):
+    """fastText-style linear text classifier via closed-form multinomial
+    NB log-odds (Joulin et al. 2017 shape; McCallum & Nigam 1998 trainer)
+    — the weak-label -> linear-classifier -> score-corpus bootstrap of
+    CCNet/FineWeb, here trained to predict lang=='en' from unigram tokens.
+    Training is pure aggregation (two vocab-sized shuffles), scoring one
+    model-sized join + one partial agg, so the ENTIRE train+score path is
+    hash-ORACLED against DuckDB replaying the identical arithmetic
+    (rounded to 6 decimals; cross-engine float-sum slack ~1e-13 rel)."""
+    from log_analysis_ai_spark.operators.classify import nb_classify
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("label")
+    )
+    return (
+        nb_classify(d)
+        .select(
+            "doc_id",
+            F.round("nb_score", 6).alias("nb_score"),
+            F.col("nb_score_pred").alias("nb_pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _docs_bpe_tokens(spark, sf_dir):
     """BPE tokenizer train + encode (Sennrich et al. 2016): 60 merges
     learned from the corpus's capped word-frequency table (distributed
@@ -2043,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": _emb_semantic_dedup,
         "docs_upsampled": _docs_upsampled,
         "docs_html_stripped": _docs_html_stripped,
+        "docs_nb_classifier": _docs_nb_classifier,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -3006,6 +3032,44 @@ def oracle_sql() -> dict[str, str]:
         # chained innermost-first exactly like the Spark expression
         "events_scrub_pii": _scrub_oracle_sql(),
         "docs_html_stripped": _html_oracle_sql(),
+        # replays the closed-form NB arithmetic of operators/classify.py
+        # (alpha=1): token x class counts, Lidstone log-odds, prior,
+        # per-doc evidence sum — identical tokenization (single-space
+        # split, empty tokens dropped)
+        "docs_nb_classifier": """
+            WITH lab AS (
+              SELECT doc_id, text, (lang = 'en') AS pos FROM documents
+            ), tokf AS (
+              SELECT doc_id, pos, word FROM (
+                SELECT doc_id, pos, unnest(string_split(text, ' ')) AS word
+                FROM lab
+              ) WHERE word <> ''
+            ), wc AS (
+              SELECT word,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                     sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+              FROM tokf GROUP BY 1
+            ), tot AS (
+              SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM wc
+            ), pri AS (
+              SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END))
+                   - ln(sum(CASE WHEN pos THEN 0 ELSE 1 END)) AS prior
+              FROM lab
+            ), w AS (
+              SELECT word,
+                     ln((cp + 1.0) / (np + v)) - ln((cn + 1.0) / (nn + v)) AS w
+              FROM wc CROSS JOIN tot
+            ), evid AS (
+              SELECT t.doc_id, sum(w.w) AS e
+              FROM tokf t JOIN w USING (word) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   round(pri.prior + coalesce(evid.e, 0.0), 6) AS nb_score,
+                   (pri.prior + coalesce(evid.e, 0.0)) > 0 AS nb_pred
+            FROM documents d CROSS JOIN pri
+            LEFT JOIN evid ON d.doc_id = evid.doc_id
+            ORDER BY d.doc_id
+        """,
         # sampling oracles: selection reproduced by the engine-portable
         # Knuth hash ((key mod 2^31 + salt) mod 2^31 * 2654435761 mod 2^32)
         # — pure row functions, so even SAMPLING is hash-oracled. The mod-2^31
