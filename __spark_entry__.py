@@ -1546,6 +1546,25 @@ def _html_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
 
 
+def _media_phash_dups(spark, sf_dir):
+    """Image near-duplicate detection by 64-bit DCT perceptual hash
+    (Zauner 2010) + COMPLETE multi-index Hamming search (Norouzi et al.
+    CVPR 2012 pigeonhole banding, bit_count verify JVM-side) over the
+    deterministic synthetic image corpus (REAL PNG/JPEG codecs from
+    codecs.py; planted near-dups are JPEG-q88 +2-brightness re-encodes).
+    ROWS-ONLY by design: a 32x32 DCT is not SQL-expressible; correctness
+    is pinned by tests/test_phash.py (DCT parity, brute-force Hamming
+    completeness, planted recall == exactly the planted pairs)."""
+    from log_analysis_ai_spark.multimodal import (
+        hamming_near_dups,
+        phash_images,
+        synth_phash_corpus,
+    )
+
+    ph = phash_images(synth_phash_corpus(spark, 40))
+    return hamming_near_dups(ph, max_hamming=10).orderBy("id_a", "id_b")
+
+
 def _docs_nb_classifier(spark, sf_dir):
     """fastText-style linear text classifier via closed-form multinomial
     NB log-odds (Joulin et al. 2017 shape; McCallum & Nigam 1998 trainer)
@@ -2081,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": _emb_ann_topk,
         "emb_ann_topk_indexed": _emb_ann_topk_indexed,
         "media_features": _media_features,
+        "media_phash_dups": _media_phash_dups,
     }
 
 

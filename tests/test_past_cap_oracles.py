@@ -44,8 +44,10 @@ def test_registry_shape():
     only no-oracle entries are the documented rows-only queries: the five
     approximate-by-design ones plus docs_bpe_tokens (iterative training —
     each merge rewrites the table the next count runs on — is not
-    SQL-expressible; pinned instead by brute-force parity in
-    tests/test_bpe.py)."""
+    SQL-expressible; pinned by brute-force parity in tests/test_bpe.py)
+    and media_phash_dups (a 32x32 DCT is not SQL-expressible; pinned by
+    DCT parity + brute-force Hamming completeness + planted recall in
+    tests/test_phash.py)."""
     import __spark_entry__ as entry
 
     qs = list(entry.queries())
@@ -59,6 +61,7 @@ def test_registry_shape():
         "emb_ann_topk_indexed",
         "media_features",
         "docs_bpe_tokens",
+        "media_phash_dups",
     }
 
 
