@@ -1546,6 +1546,42 @@ def _html_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
 
 
+def _docs_url_filter(spark, sf_dir):
+    """URL canonicalize -> domain blocklist -> canonical-URL dedup (the
+    C4/CCNet/RefinedWeb pre-content-dedup step), on URLs planted from
+    doc_id (the scrub_pii planting convention): doc_id%13==0 rows get a
+    blocked-domain tracker URL (subdomain — must block via registered
+    domain); the rest get an uppercase-scheme www+:443 URL with utm/frag
+    noise whose canonical form collides across docs sharing
+    (doc_id%23, doc_id%40), so the keep-min dedup is exercised for real.
+    The oracle DERIVES the expected canonical directly from doc_id — an
+    INDEPENDENT construction, not a regex replay — so the hash gate
+    checks the canonicalizer's semantics, not its implementation."""
+    from log_analysis_ai_spark.functions.url import url_blocklist_filter, url_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    planted = d.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.format_string(
+                "HTTP://Ads.Spam-Tracker.com/click?id=%d&utm_campaign=z", "doc_id"
+            ),
+        ).otherwise(
+            F.format_string(
+                "HTTPS://WWW.Site%d.COM:443/A/b?id=%d&utm_source=news&ref=k#frag",
+                F.col("doc_id") % 23,
+                F.col("doc_id") % 40,
+            )
+        ),
+    )
+    return (
+        url_dedup(url_blocklist_filter(planted))
+        .select("doc_id", "url_canon", "domain")
+        .orderBy("doc_id")
+    )
+
+
 def _media_phash_dups(spark, sf_dir):
     """Image near-duplicate detection by 64-bit DCT perceptual hash
     (Zauner 2010) + COMPLETE multi-index Hamming search (Norouzi et al.
@@ -2088,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_upsampled": _docs_upsampled,
         "docs_html_stripped": _docs_html_stripped,
         "docs_nb_classifier": _docs_nb_classifier,
+        "docs_url_filter": _docs_url_filter,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -3052,6 +3089,28 @@ def oracle_sql() -> dict[str, str]:
         # chained innermost-first exactly like the Spark expression
         "events_scrub_pii": _scrub_oracle_sql(),
         "docs_html_stripped": _html_oracle_sql(),
+        # INDEPENDENT derivation (not a regex replay): the planted URLs'
+        # canonical forms are a closed function of doc_id, so the oracle
+        # constructs them directly and applies blocklist + keep-min
+        "docs_url_filter": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN NULL
+                          ELSE 'https://site' || (doc_id % 23) ||
+                               '.com/A/b?id=' || (doc_id % 40) || '&ref=k'
+                     END AS url_canon,
+                     CASE WHEN doc_id % 13 = 0 THEN NULL
+                          ELSE 'site' || (doc_id % 23) || '.com'
+                     END AS domain
+              FROM documents
+            ), kept AS (
+              SELECT doc_id, url_canon, domain,
+                     min(doc_id) OVER (PARTITION BY url_canon) AS keeper
+              FROM planted WHERE url_canon IS NOT NULL
+            )
+            SELECT doc_id, url_canon, domain FROM kept
+            WHERE doc_id = keeper ORDER BY doc_id
+        """,
         # replays the closed-form NB arithmetic of operators/classify.py
         # (alpha=1): token x class counts, Lidstone log-odds, prior,
         # per-doc evidence sum — identical tokenization (single-space
