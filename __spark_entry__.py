@@ -1546,6 +1546,37 @@ def _html_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
 
 
+def _docs_interleaved(spark, sf_dir):
+    """Deterministic weighted source interleaving (curriculum mixing
+    order — torchdata WeightedSampler / tf.data sample_from_datasets,
+    made a pure function of the data): per-source weight 1 + (src# % 3),
+    portable knuth hash so the DuckDB oracle replays mix_key = (h /
+    2^32) / w exactly. Consuming rows in mix_key order yields sources at
+    rates proportional to N_src x weight; the scale path
+    (interleave_partitions: range partition + in-partition sort, no
+    global sort) is plan-pinned in tests/test_interleave.py."""
+    from log_analysis_ai_spark.operators.sampling import (
+        KNUTH_M,
+        interleave_by_weight,
+        knuth_hash,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn(
+            "_w", F.lit(1.0) + (F.substring("source", 4, 10).cast("int") % 3)
+        )
+    )
+    out = interleave_by_weight(
+        d, "_w", hash_expr=knuth_hash("doc_id"), hash_range=KNUTH_M
+    )
+    return (
+        out.select("doc_id", "source", F.round("mix_key", 9).alias("mix_key"))
+        .orderBy("doc_id")
+    )
+
+
 def _docs_url_filter(spark, sf_dir):
     """URL canonicalize -> domain blocklist -> canonical-URL dedup (the
     C4/CCNet/RefinedWeb pre-content-dedup step), on URLs planted from
@@ -2125,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_html_stripped": _docs_html_stripped,
         "docs_nb_classifier": _docs_nb_classifier,
         "docs_url_filter": _docs_url_filter,
+        "docs_interleaved": _docs_interleaved,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -3089,6 +3121,15 @@ def oracle_sql() -> dict[str, str]:
         # chained innermost-first exactly like the Spark expression
         "events_scrub_pii": _scrub_oracle_sql(),
         "docs_html_stripped": _html_oracle_sql(),
+        # replays mix_key = (knuth_hash(doc_id) / 2^32) / (1 + src# % 3)
+        "docs_interleaved": """
+            SELECT doc_id, source,
+                   round((((doc_id % 2147483648) * 2654435761 % 4294967296)
+                          / 4294967296.0)
+                         / (1.0 + (CAST(substr(source, 4) AS INT) % 3)),
+                         9) AS mix_key
+            FROM documents ORDER BY doc_id
+        """,
         # INDEPENDENT derivation (not a regex replay): the planted URLs'
         # canonical forms are a closed function of doc_id, so the oracle
         # constructs them directly and applies blocklist + keep-min

@@ -416,3 +416,71 @@ def upsample_by_weight(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
         .drop("_n_copies")
     )
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    weights,
+    group_col: str = "source",
+    key_cols="doc_id",
+    salt: int = 0,
+    hash_expr: Column | None = None,
+    hash_range: int = 1 << 62,
+    out_col: str = "mix_key",
+) -> DataFrame:
+    """Deterministic weighted source INTERLEAVING — the training-order
+    side of corpus mixing (torchdata's WeightedSampler / tf.data
+    `sample_from_datasets` shape): adds `out_col` such that consuming
+    rows in `out_col` order yields each group at an arrival RATE
+    proportional to N_group × weight(group), uniformly mixed (not
+    bursty), as a PURE FUNCTION of the data — same order at any
+    parallelism, any retry.
+
+    mix_key = (hash(key, salt) / hash_range) / w: the normalized hash u
+    is uniform on [0,1), so group g's rows fall uniformly on
+    [0, 1/w_g) — per unit of key, w_g·N_g rows of g arrive, i.e. a
+    weight-2 group is consumed twice as fast (and exhausts at key
+    1/w_g; equal-rate-forever mixing wants w ∝ 1/N_g, per-epoch
+    weighting wants the Pile-style w from upsample_by_weight — the two
+    compose). This is the published RANDOM interleave, made
+    deterministic; exact round-robin would need a per-group dense rank
+    (one window task per group — the hot-key shape this engine avoids
+    everywhere).
+
+    `weights` is a dict {group value -> weight} (broadcast-joined;
+    missing group or w <= 0 fails fast inside codegen — a silent
+    default would silently mis-mix the corpus) or a numeric column name.
+
+    Scale shape: one broadcast join + narrow arithmetic — no shuffle, no
+    window, no RNG. Consume with `interleave_partitions` (range
+    partition by mix_key + in-partition sort): globally ordered shards
+    with NO single-task global sort."""
+    if isinstance(weights, dict):
+        wdf = df.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in weights.items()], f"{group_col} string, _w double"
+        )
+        src = df.join(F.broadcast(wdf), group_col, "left")
+        w = F.col("_w")
+    else:
+        src = df
+        w = F.col(weights).cast("double")
+    w = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.lit("interleave_by_weight: every group needs a weight > 0")
+        ).cast("double"),
+    ).otherwise(w)
+    h = hash_expr if hash_expr is not None else xxhash(key_cols, salt)
+    u = h.cast("double") / F.lit(float(hash_range))
+    out = src.withColumn(out_col, u / w)
+    return out.drop("_w") if isinstance(weights, dict) else out
+
+
+def interleave_partitions(df: DataFrame, num_partitions: int, out_col: str = "mix_key") -> DataFrame:
+    """Materialization path for an interleaved corpus: RANGE partition on
+    the mix key + sort WITHIN partitions — partition i holds the i-th
+    contiguous slice of the global training order, each internally
+    ordered, with no single-task global sort anywhere (the write side of
+    curriculum mixing: `.write.parquet` of the result is the training
+    shard sequence)."""
+    return df.repartitionByRange(num_partitions, F.col(out_col)).sortWithinPartitions(out_col)
