@@ -1546,6 +1546,21 @@ def _html_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
 
 
+def _docs_datacard(spark, sf_dir):
+    """Per-source corpus datacard (The Pile §2 / Dolma dataset-sheet
+    table): docs, token totals/moments, language mix, exact dup-text
+    ratio — one partial-aggregating groupBy + a two-level distinct agg
+    keyed by (source, text-hash) so a hot source never builds its
+    distinct set in one task. Every metric exact; avgs rounded 6."""
+    from log_analysis_ai_spark.functions.text import corpus_datacard
+
+    return (
+        corpus_datacard(_t(spark, sf_dir, "documents"))
+        .withColumn("total_tokens", F.col("total_tokens").cast("long"))
+        .orderBy("source")
+    )
+
+
 def _docs_interleaved(spark, sf_dir):
     """Deterministic weighted source interleaving (curriculum mixing
     order — torchdata WeightedSampler / tf.data sample_from_datasets,
@@ -2157,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_nb_classifier": _docs_nb_classifier,
         "docs_url_filter": _docs_url_filter,
         "docs_interleaved": _docs_interleaved,
+        "docs_datacard": _docs_datacard,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -3121,6 +3137,24 @@ def oracle_sql() -> dict[str, str]:
         # chained innermost-first exactly like the Spark expression
         "events_scrub_pii": _scrub_oracle_sql(),
         "docs_html_stripped": _html_oracle_sql(),
+        "docs_datacard": """
+            WITH base AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS total_tokens,
+                     round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+                     round(avg(length(text)), 6) AS avg_chars,
+                     count(DISTINCT lang) AS n_langs,
+                     round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+                       AS pct_en
+              FROM documents GROUP BY 1
+            ), dist AS (
+              SELECT source, count(DISTINCT text) AS distinct_texts
+              FROM documents GROUP BY 1
+            )
+            SELECT base.*, dist.distinct_texts
+            FROM base JOIN dist USING (source) ORDER BY source
+        """,
         # replays mix_key = (knuth_hash(doc_id) / 2^32) / (1 + src# % 3)
         "docs_interleaved": """
             SELECT doc_id, source,

@@ -738,3 +738,42 @@ def strip_html(df: DataFrame, col: str = "text", out_col: str | None = None,
     if collapse_ws:
         expr = F.trim(F.regexp_replace(expr, r"\s+", " "))
     return df.withColumn(out, expr)
+
+
+def corpus_datacard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus composition report — the 'datacard' table every
+    published corpus ships (The Pile §2 component table, Dolma's dataset
+    sheet, C4's composition stats): docs, whitespace tokens, length
+    moments, language mix, and exact duplicate-text ratio per group.
+
+    One partial-aggregating groupBy over the corpus; every metric is an
+    exact aggregate (map-side combine; the distinct-text count uses a
+    two-level agg keyed by (group, text-hash) so the corpus-sized distinct
+    never builds a per-group hash set driver-side). Scale: output is
+    |groups| rows; no window, no UDF, whole-stage codegen."""
+    toks = token_count_ws(text_col)
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg(toks), 6).alias("avg_tokens"),
+        F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.round(
+            F.avg(F.when(F.col(lang_col) == "en", 1.0).otherwise(0.0)), 6
+        ).alias("pct_en"),
+    )
+    # distinct texts per group via an inner agg on (group, text) — the
+    # shuffle key includes the text hash, so a group with 10^9 docs is
+    # spread over the cluster, not one task
+    dist = (
+        df.groupBy(group_col, F.xxhash64(text_col).alias("_th"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("distinct_texts"))
+    )
+    return base.join(dist, group_col)
