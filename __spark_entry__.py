@@ -2098,7 +2098,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": _events_zscore,
         "events_rate_anomalies": _events_rate_anomalies,
         "events_trending": _events_trending,
-        "events_pivot_user": _events_pivot_user,
         "events_value_percentiles": _events_value_percentiles,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
@@ -2115,7 +2114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": _docs_token_budget,
         "part_type_stats": _part_type_stats,
         # -- documents / LLM-data pipeline ------------------------------
-        "docs_search": _docs_search,
+        # (r8: docs_nb_classifier and docs_url_filter — the round's two
+        # new operator FAMILIES — took the window slots of docs_search
+        # and events_pivot_user, which moved past the cap; every past-cap
+        # oracle stays CI-pinned by tests/test_past_cap_oracles.py)
+        "docs_nb_classifier": _docs_nb_classifier,
+        "docs_url_filter": _docs_url_filter,
         "docs_bm25": _docs_bm25,
         "docs_dedup_exact": _docs_dedup_exact,
         "docs_dedup_groups": _docs_dedup_groups,
@@ -2169,8 +2173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": _emb_semantic_dedup,
         "docs_upsampled": _docs_upsampled,
         "docs_html_stripped": _docs_html_stripped,
-        "docs_nb_classifier": _docs_nb_classifier,
-        "docs_url_filter": _docs_url_filter,
+        "docs_search": _docs_search,
+        "events_pivot_user": _events_pivot_user,
         "docs_interleaved": _docs_interleaved,
         "docs_datacard": _docs_datacard,
         "emb_ivf_topk": _emb_ivf_topk,
