@@ -124,3 +124,14 @@ def test_invariant_to_parallelism(spark):
     r2 = {(r.doc_id, round(r.nb_score, 9), r.nb_score_pred)
           for r in nb_classify(d.repartition(13)).collect()}
     assert r1 == r2 and len(r1) == 400
+
+
+def test_plan_shape_jvm_only_partial_aggs(spark):
+    out = nb_classify(_df(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # JVM end to end: no Python eval, no window over any hot key; the
+    # vocab and evidence aggregations must partial-aggregate (map-side
+    # combine absorbs stopwords / long docs)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
