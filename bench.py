@@ -45,6 +45,10 @@ HEADLINE = [
     "docs_substring_dedup",
     "docs_token_budget",
     "docs_lm_perplexity",
+    "docs_nb_classifier",
+    "docs_url_filter",
+    "docs_interleaved",
+    "docs_datacard",
 ]
 
 # queries whose first run is dominated by one-time whole-stage-codegen
@@ -101,6 +105,10 @@ METRIC_NOTES = [
     "operator), docs_token_budget (per-source token-budget mixing), and "
     "docs_lm_perplexity (CCNet-style bigram LM scoring); "
     "`value_comparable` excludes all three.",
+    "r8 (late): HEADLINE gained docs_nb_classifier (closed-form NB "
+    "train+score), docs_url_filter (canonicalize/blocklist/dedup), "
+    "docs_interleaved (weighted mixing order), docs_datacard (per-source "
+    "composition report); `value_comparable` excludes all four.",
 ]
 
 # the r5-era headline set — `value_comparable` sums exactly these keys (+
@@ -115,6 +123,10 @@ R5_COMPARABLE = [
         "docs_substring_dedup",
         "docs_token_budget",
         "docs_lm_perplexity",
+        "docs_nb_classifier",
+        "docs_url_filter",
+        "docs_interleaved",
+        "docs_datacard",
     )
 ]
 
