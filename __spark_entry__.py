@@ -1546,6 +1546,29 @@ def _html_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
 
 
+def _docs_curated(spark, sf_dir):
+    """The composed `curate()` recipe (lang -> quality floor -> exact
+    dedup keep-min -> per-source 600-token budget, portable hash) with
+    its full per-row AUDIT: every doc_id appears exactly once with the
+    FIRST rule that rejected it, or 'kept'. The oracle replays the whole
+    chain (langid argmax, rounded quality arithmetic, min-id-per-text,
+    budget prefix window) in DuckDB — the hash gate proves stage WIRING
+    (precedence, survivor propagation), not just each stage alone.
+    Richer configs (gopher/c4/near-dup stages) are pinned by
+    tests/test_curate.py planted-defect + composition-parity tests."""
+    from log_analysis_ai_spark.curate import CurationConfig, curate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = curate(
+        d, CurationConfig(token_budget_per_group=600, budget_portable_hash=True)
+    )
+    return (
+        out["audit"]
+        .withColumn("reason", F.coalesce("reason", F.lit("kept")))
+        .orderBy("doc_id")
+    )
+
+
 def _docs_datacard(spark, sf_dir):
     """Per-source corpus datacard (The Pile §2 / Dolma dataset-sheet
     table): docs, token totals/moments, language mix, exact dup-text
@@ -2177,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_user": _events_pivot_user,
         "docs_interleaved": _docs_interleaved,
         "docs_datacard": _docs_datacard,
+        "docs_curated": _docs_curated,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -3141,6 +3165,54 @@ def oracle_sql() -> dict[str, str]:
         # chained innermost-first exactly like the Spark expression
         "events_scrub_pii": _scrub_oracle_sql(),
         "docs_html_stripped": _html_oracle_sql(),
+        # replays the ENTIRE curate() 4-stage chain: langid argmax ->
+        # rounded quality -> keep-min-per-text -> budget prefix window
+        # (first-match-wins reasons, kept rows labeled 'kept')
+        "docs_curated": f"""
+            WITH scored AS (
+              SELECT doc_id, text, source,
+                     {{LANGID}} AS lang_pred,
+                     round(
+                       0.4 * (CASE WHEN length(text) BETWEEN 20 AND 10000
+                              THEN 1.0 ELSE 0.0 END)
+                       + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                                / greatest(length(text), 1))
+                       + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                                / greatest(length(text), 1)),
+                       6) AS quality
+              FROM documents
+            ), f1 AS (
+              SELECT doc_id, text, source,
+                     CASE WHEN lang_pred <> 'en' THEN 'lang'
+                          WHEN quality < 0.5 THEN 'quality' END AS reason
+              FROM scored
+            ), s1 AS (
+              SELECT doc_id, text, source FROM f1 WHERE reason IS NULL
+            ), k AS (
+              SELECT text, min(doc_id) AS kid FROM s1 GROUP BY 1
+            ), f2 AS (
+              SELECT s1.doc_id, s1.text, s1.source,
+                     CASE WHEN s1.doc_id <> k.kid THEN 'exact_dup' END AS reason
+              FROM s1 JOIN k USING (text)
+            ), s2 AS (
+              SELECT doc_id, text, source FROM f2 WHERE reason IS NULL
+            ), b AS (
+              SELECT doc_id,
+                     CASE WHEN SUM(len(string_split(text, ' '))) OVER (
+                            PARTITION BY source
+                            ORDER BY (doc_id % 2147483648) * 2654435761
+                                     % 4294967296, doc_id
+                          ) > 600 THEN 'budget' END AS reason
+              FROM s2
+            )
+            SELECT doc_id, reason FROM (
+              SELECT doc_id, reason FROM f1 WHERE reason IS NOT NULL
+              UNION ALL
+              SELECT doc_id, reason FROM f2 WHERE reason IS NOT NULL
+              UNION ALL
+              SELECT doc_id, coalesce(reason, 'kept') AS reason FROM b
+            ) ORDER BY doc_id
+        """.replace("{LANGID}", _langid_sql_expr()),
         "docs_datacard": """
             WITH base AS (
               SELECT source, count(*) AS n_docs,

@@ -1,0 +1,144 @@
+"""curate(): planted-defect rows must each land on their expected reason
+(first-match-wins precedence), the audit must cover every input exactly
+once, composition must equal applying the stages manually, and the whole
+thing must be parallelism-invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_ai_spark.curate import REASONS, CurationConfig, curate
+
+CLEAN_EN = (
+    "the cat sat on the mat and then the dog ran to the park with a ball "
+    "while the sun was high and the day was long so they played for hours"
+)
+
+PLANTS = [
+    # (doc_id, text, source, expected_reason)
+    (0, CLEAN_EN, "s1", None),
+    (1, "le chat est sur le tapis et le chien dans le jardin avec une balle", "s1", "lang"),
+    (2, "the is ............................................................", "s1", "quality"),
+    (3, CLEAN_EN, "s1", "exact_dup"),        # identical to 0, higher id
+    (4, CLEAN_EN + " extra", "s2", None),    # near-identical but near_dup off here
+]
+
+
+def _df(spark, rows=PLANTS):
+    return spark.createDataFrame(
+        [(i, t, s) for i, t, s, _ in rows], "doc_id long, text string, source string"
+    )
+
+
+def test_reasons_and_audit_totality(spark):
+    out = curate(_df(spark), CurationConfig())
+    audit = {r.doc_id: r.reason for r in out["audit"].collect()}
+    assert audit == {i: reason for i, _, _, reason in PLANTS}
+    kept_ids = {r.doc_id for r in out["kept"].collect()}
+    assert kept_ids == {i for i, _, _, reason in PLANTS if reason is None}
+    # kept rows keep ORIGINAL columns only
+    assert out["kept"].columns == ["doc_id", "text", "source"]
+    # no lang column in this corpus -> datacard needs lang, skipped
+    assert out["datacard"] is None
+
+
+def test_precedence_first_match_wins(spark):
+    # a row failing BOTH lang and quality reports lang (the first rule)
+    # no spaces, all punctuation: lang 'und' AND quality 0.4 (< 0.5)
+    rows = [(0, "??!!..~~//||@@##====!!!!", "s1", "lang")]
+    audit = {r.doc_id: r.reason for r in curate(_df(spark, rows), CurationConfig())["audit"].collect()}
+    assert audit[0] == "lang"
+    # same row with the lang stage disabled falls through to quality
+    audit2 = {
+        r.doc_id: r.reason
+        for r in curate(_df(spark, rows), CurationConfig(lang=None))["audit"].collect()
+    }
+    assert audit2[0] == "quality"
+
+
+def test_gopher_c4_and_near_dup_reasons(spark):
+    # four distinct terminal-punctuation sentences, ~58 words, >=2 Gopher
+    # stopwords, mean word length in [3,10]: passes gopher + repetition + c4
+    clean3 = (
+        "the cat sat on the mat and then the dog ran to the park with a ball. "
+        "while the sun was high the day was long so they played for hours outside. "
+        "later the friends walked home across the bridge and shared a quiet meal. "
+        "everyone agreed that tomorrow would bring another fine adventure somewhere new."
+    )
+    short_en = "the cat sat on the mat."  # < 50 words -> gopher_quality
+    # gopher-clean base + a hot bigram: top-2gram char fraction > 0.20
+    repeaty = clean3 + " " + ("the cat " * 30).strip() + "."
+    lorem = (
+        "The morning light crept slowly over the quiet hills and valleys today. "
+        "Farmers walked their fields checking every row of young corn plants. "
+        "Children hurried along dusty roads toward the small school building early. "
+        "The old baker set fresh loaves of bread in neat lines. "
+        "Sadly the page ended with lorem ipsum filler text everywhere."
+    )
+    near_a = clean3 + " alpha beta gamma delta omega lines end here today."
+    near_b = clean3 + " alpha beta gamma epsilon omega lines end here today."
+    rows = [
+        (0, short_en, "s1", "gopher_quality"),
+        (1, repeaty, "s1", "repetition"),
+        (2, lorem, "s1", "c4"),
+        (3, near_a, "s1", None),
+        (4, near_b, "s1", "near_dup"),
+    ]
+    cfg = CurationConfig(
+        min_quality=None,
+        gopher_quality=True,
+        gopher_repetition=True,
+        c4=True,
+        near_dup="jaccard",
+        near_dup_threshold=0.8,
+    )
+    audit = {r.doc_id: r.reason for r in curate(_df(spark, rows), cfg)["audit"].collect()}
+    assert audit == {i: reason for i, _, _, reason in rows}
+
+
+def test_budget_reason_and_manual_composition_parity(spark):
+    rows = [(i, CLEAN_EN + f" tail{i}", f"s{i % 2}", None) for i in range(30)]
+    d = _df(spark, rows)
+    cfg = CurationConfig(token_budget_per_group=150, budget_portable_hash=True)
+    out = curate(d, cfg)
+    audit = {r.doc_id: r.reason for r in out["audit"].collect()}
+    assert set(audit.values()) <= {None, "budget"}
+    assert "budget" in audit.values()  # 15 docs x ~33 tokens > 150 per source
+    # manual composition with the same operators
+    from log_analysis_ai_spark.functions.text import lang_id, quality_score, token_count_ws
+    from log_analysis_ai_spark.operators.sampling import KNUTH_M, knuth_hash, token_budget_sample
+
+    m = (
+        d.withColumn("_lp", lang_id("text"))
+        .withColumn("_q", F.round(quality_score("text"), 6))
+        .filter((F.col("_lp") == "en") & (F.col("_q") >= 0.5))
+    )
+    keep = m.groupBy(F.xxhash64("text").alias("_th")).agg(F.min("doc_id").alias("doc_id"))
+    m = m.withColumn("_th", F.xxhash64("text")).join(keep, ["_th", "doc_id"], "left_semi")
+    m = token_budget_sample(
+        m.withColumn("_ntok", token_count_ws("text")),
+        "source", 150, "_ntok", "doc_id",
+        hash_expr=knuth_hash("doc_id"), hash_range=KNUTH_M,
+    )
+    manual_kept = {r.doc_id for r in m.collect()}
+    assert {r.doc_id for r in out["kept"].collect()} == manual_kept
+
+
+def test_parallelism_invariance_and_validation(spark):
+    rows = PLANTS + [(10 + i, CLEAN_EN + f" v{i}", "s3", None) for i in range(10)]
+    d = _df(spark, rows)
+    cfg = CurationConfig(near_dup="jaccard", token_budget_per_group=400, budget_portable_hash=True)
+    a1 = {(r.doc_id, r.reason) for r in curate(d, cfg)["audit"].collect()}
+    a2 = {(r.doc_id, r.reason) for r in curate(d.repartition(7), cfg)["audit"].collect()}
+    assert a1 == a2
+    assert {r for _, r in a1} <= set(REASONS) | {None}
+    with pytest.raises(ValueError, match="near_dup"):
+        curate(d, CurationConfig(near_dup="simhash"))
+
+
+def test_datacard_present_with_lang_column(spark):
+    d = _df(spark).withColumn("lang", F.lit("en"))
+    out = curate(d, CurationConfig())
+    card = {r.source: r.n_docs for r in out["datacard"].collect()}
+    assert card == {"s1": 1, "s2": 1}
