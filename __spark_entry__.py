@@ -2094,8 +2094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the engine's highest-value distinct-operator surface (flagship SQL, the
     four full-pipeline north-rule oracles, streaming, events analytics,
     curation/dedup, embeddings, the two headline parsers); redundant
-    variants (classic/offset/cube/batch roundtrips) and the five rows-only
-    approximate queries sit past the cap — all remain verifiable via
+    variants (classic/offset/cube/batch roundtrips) and the seven
+    rows-only queries (five approximate-by-design + BPE training + pHash,
+    neither SQL-expressible) sit past the cap — all remain verifiable via
     tools/check_oracle.py AND are pinned in CI by
     tests/test_past_cap_oracles.py (r8), so demotion past the cap can no
     longer silently rot an oracle."""

@@ -15,8 +15,8 @@ rejected it (first-match-wins precedence, the dead-letter convention of
 job.reject_reason — one reason per row, stable under reordering of the
 later checks).
 
-Precedence (fixed): lang → quality → gopher_quality → repetition → c4 →
-exact_dup → near_dup → budget. Filters run before dedup (the
+Precedence (fixed): null_text → lang → quality → gopher_quality →
+repetition → c4 → exact_dup → near_dup → budget. Filters run before dedup (the
 Gopher/RefinedWeb order — deduping rows that filters will kill anyway
 wastes the expensive stages), dedup before budget (a budget drawn from
 an un-deduped corpus over-represents duplicated content).
@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 REASONS = (
+    "null_text",
     "lang",
     "quality",
     "gopher_quality",
@@ -78,12 +79,21 @@ def curate(
     config: CurationConfig = CurationConfig(),
     text_col: str = "text",
     id_col: str = "doc_id",
+    caches: list | None = None,
 ) -> dict:
     """Run the configured recipe. Returns
     {"kept": <surviving rows, original columns>,
      "audit": <(id, reason) for EVERY input row; kept rows have NULL>,
      "datacard": <corpus_datacard of kept, or None without group_col>}.
-    All three are lazy DataFrames sharing one lineage."""
+    All three are lazy DataFrames sharing one lineage.
+
+    Each stage's survivor frame feeds 2-3 downstream scans (keeper agg +
+    drop anti-join + semi-join back), so it is materialized ONCE via
+    compute_once — without that the expensive row-local stages (the
+    repetition Arrow pass especially) would recompute per scan per stage.
+    `caches` as in operators.dedup.compute_once: pass a list for the
+    fault-tolerant persist path on long jobs (caller unpersists);
+    default is a lazy localCheckpoint."""
     from .functions.text import (
         c4_clean,
         corpus_datacard,
@@ -99,7 +109,11 @@ def curate(
 
     cols = df.columns
     d = df
-    conds: list[tuple] = []  # (reason, fail_condition) in precedence order
+    # NULL text is rejected FIRST (the dead-letter 'null_text' convention):
+    # every downstream predicate is NULL-safe-false on NULL input, so
+    # without this a NULL row would sail through the filters and then trip
+    # the budget stage's non-null weight contract with an opaque error.
+    conds: list[tuple] = [("null_text", F.col(text_col).isNull())]
     if config.lang is not None:
         d = d.withColumn("_lang_pred", lang_id(text_col))
         conds.append(("lang", F.col("_lang_pred") != config.lang))
@@ -119,10 +133,12 @@ def curate(
         d = c4_clean(d, text_col)
         conds.append(("c4", ~F.col("keep_c4")))
 
+    from .operators.dedup import compute_once
+
     reason = F.lit(None).cast("string")
     for r, cond in reversed(conds):
         reason = F.when(cond, F.lit(r)).otherwise(reason)
-    flagged = d.select(*cols, reason.alias("_reason"))
+    flagged = compute_once(d.select(*cols, reason.alias("_reason")), caches)
     audits = [flagged.filter(F.col("_reason").isNotNull()).select(id_col, F.col("_reason").alias("reason"))]
     surv = flagged.filter(F.col("_reason").isNull()).drop("_reason")
 
@@ -134,9 +150,12 @@ def curate(
             id_col, F.lit("exact_dup").alias("reason")
         )
         audits.append(dropped)
-        surv = surv.withColumn("_th", F.xxhash64(F.col(text_col))).join(
-            keep, ["_th", id_col], "left_semi"
-        ).drop("_th")
+        surv = compute_once(
+            surv.withColumn("_th", F.xxhash64(F.col(text_col)))
+            .join(keep, ["_th", id_col], "left_semi")
+            .drop("_th"),
+            caches,
+        )
 
     if config.near_dup is not None:
         if config.near_dup == "minhash":
@@ -158,7 +177,7 @@ def curate(
             )
         drops = groups.filter(~F.col("keep")).select(id_col)
         audits.append(drops.select(id_col, F.lit("near_dup").alias("reason")))
-        surv = surv.join(drops, id_col, "left_anti")
+        surv = compute_once(surv.join(drops, id_col, "left_anti"), caches)
 
     if config.token_budget_per_group is not None:
         from .operators.sampling import KNUTH_M, knuth_hash, token_budget_sample

@@ -331,6 +331,9 @@ def hamming_near_dups(
     base, rem = divmod(64, m)
     widths = [base + 1] * rem + [base] * (m - rem)
     offsets = [sum(widths[:i]) for i in range(m)]
+    # a 64-bit-wide band's mask (radius 0 -> one band = the whole word)
+    # must be the signed all-ones long: (1<<64)-1 overflows LongType
+    masks = [-1 if w == 64 else (1 << w) - 1 for w in widths]
     src = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
     banded = src.select(
         "_id",
@@ -341,7 +344,7 @@ def hamming_near_dups(
                     F.struct(
                         F.lit(i).alias("band"),
                         F.shiftrightunsigned("_h", offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .bitwiseAND(F.lit(masks[i]))
                         .alias("chunk"),
                     )
                     for i in range(m)

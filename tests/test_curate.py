@@ -142,3 +142,12 @@ def test_datacard_present_with_lang_column(spark):
     out = curate(d, CurationConfig())
     card = {r.source: r.n_docs for r in out["datacard"].collect()}
     assert card == {"s1": 1, "s2": 1}
+
+
+def test_null_text_rejected_first(spark):
+    d = spark.createDataFrame(
+        [(0, None, "s1"), (1, CLEAN_EN, "s1")], "doc_id long, text string, source string"
+    )
+    cfg = CurationConfig(token_budget_per_group=1000, budget_portable_hash=True)
+    audit = {r.doc_id: r.reason for r in curate(d, cfg)["audit"].collect()}
+    assert audit == {0: "null_text", 1: None}

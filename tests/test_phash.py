@@ -125,3 +125,13 @@ def test_end_to_end_planted_recall_and_parallelism_invariance(spark):
         for r in hamming_near_dups(phash_images(media.repartition(7)), max_hamming=10).collect()
     }
     assert pairs2 == pairs
+
+
+def test_hamming_radius_zero_exact_match_band(spark):
+    # radius 0 -> ONE 64-bit band; the mask must be the signed all-ones
+    # long ((1<<64)-1 would overflow LongType at analysis time)
+    rows = [(0, -5), (1, -5), (2, 7), (3, 7), (4, 9)]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in hamming_near_dups(df, max_hamming=0).collect()}
+    assert got == {(0, 1, 0), (2, 3, 0)}
