@@ -151,3 +151,21 @@ def test_null_text_rejected_first(spark):
     cfg = CurationConfig(token_budget_per_group=1000, budget_portable_hash=True)
     audit = {r.doc_id: r.reason for r in curate(d, cfg)["audit"].collect()}
     assert audit == {0: "null_text", 1: None}
+
+
+def test_curate_plan_no_window_and_jvm_row_stages(spark):
+    # the 4-stage entry config: exact dedup must be the partial-agg +
+    # join shape (no WindowExec over the text hash — a hot text must
+    # never serialize into one task) and the row-local stages must stay
+    # JVM-side (no Python eval anywhere in this config)
+    d = _df(spark)
+    caches = []  # persist path: localCheckpoint would truncate the plan
+    try:
+        out = curate(d, CurationConfig(), caches=caches)["kept"]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "partial" in plan.lower()
+    finally:
+        for c in caches:
+            c.unpersist()
