@@ -1546,6 +1546,42 @@ def _html_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
 
 
+def _stream_curated_counts(spark, sf_dir):
+    """STREAMING curation: documents -> JSONL files -> readStream
+    (availableNow) -> stream_curate (curate()'s row-local stages per
+    micro-batch, every row written with its first-match reason, exactly-
+    once dynamic-partition-overwrite sink) -> reason histogram over the
+    sink. Row-local stages are a pure function of each row, so the whole
+    streaming path is SQL-expressible and hash-ORACLED: DuckDB replays
+    null/lang/quality precedence directly on the documents table."""
+    from log_analysis_ai_spark.curate import CurationConfig
+    from log_analysis_ai_spark.streaming.stream import stream_curate
+
+    # plant null_text (id%41) and all-punct low-quality (id%37) rows so
+    # every row-local reason fires through the streaming path
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 41 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 37 == 0, F.lit("the is ??!!~~##"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    in_dir = _scratch("stream_curate_in", sf_dir)
+    out_dir = _scratch("stream_curate_out", sf_dir)
+    ckpt = _scratch("stream_curate_ckpt", sf_dir)
+    d.repartition(4).write.mode("overwrite").json(in_dir)
+    src = spark.readStream.schema("doc_id long, text string").json(in_dir)
+    stream_curate(
+        src, out_dir, ckpt, CurationConfig(exact_dedup=False)
+    ).awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("reason")
+    )
+
+
 def _docs_curated(spark, sf_dir):
     """The composed `curate()` recipe (lang -> quality floor -> exact
     dedup keep-min -> per-source 600-token budget, portable hash) with
@@ -2202,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_interleaved": _docs_interleaved,
         "docs_datacard": _docs_datacard,
         "docs_curated": _docs_curated,
+        "stream_curated_counts": _stream_curated_counts,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,
@@ -3166,6 +3203,32 @@ def oracle_sql() -> dict[str, str]:
         # chained innermost-first exactly like the Spark expression
         "events_scrub_pii": _scrub_oracle_sql(),
         "docs_html_stripped": _html_oracle_sql(),
+        # replays stream_curate's row-local precedence (null -> lang ->
+        # quality) directly on documents; the streaming path adds no
+        # row-level transformation beyond it
+        "stream_curated_counts": f"""
+            SELECT reason, count(*) AS n FROM (
+              SELECT CASE
+                       WHEN text IS NULL THEN 'null_text'
+                       WHEN {{LANGID}} <> 'en' THEN 'lang'
+                       WHEN round(
+                         0.4 * (CASE WHEN length(text) BETWEEN 20 AND 10000
+                                THEN 1.0 ELSE 0.0 END)
+                         + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                                  / greatest(length(text), 1))
+                         + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                                  / greatest(length(text), 1)),
+                         6) < 0.5 THEN 'quality'
+                       ELSE 'kept' END AS reason
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 41 = 0 THEN NULL
+                            WHEN doc_id % 37 = 0
+                              THEN 'the is ??!!~~##'
+                            ELSE text END AS text
+                FROM documents))
+            GROUP BY 1 ORDER BY 1
+        """.replace("{LANGID}", _langid_sql_expr()),
         # replays the ENTIRE curate() 4-stage chain: langid argmax ->
         # rounded quality -> keep-min-per-text -> budget prefix window
         # (first-match-wins reasons, kept rows labeled 'kept')

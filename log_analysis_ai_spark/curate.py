@@ -74,38 +74,24 @@ class CurationConfig:
     budget_portable_hash: bool = False  # knuth hash (SQL-replayable) vs xxhash64
 
 
-def curate(
+def flag_rows(
     df: DataFrame,
     config: CurationConfig = CurationConfig(),
     text_col: str = "text",
-    id_col: str = "doc_id",
-    caches: list | None = None,
-) -> dict:
-    """Run the configured recipe. Returns
-    {"kept": <surviving rows, original columns>,
-     "audit": <(id, reason) for EVERY input row; kept rows have NULL>,
-     "datacard": <corpus_datacard of kept, or None without group_col>}.
-    All three are lazy DataFrames sharing one lineage.
-
-    Each stage's survivor frame feeds 2-3 downstream scans (keeper agg +
-    drop anti-join + semi-join back), so it is materialized ONCE via
-    compute_once — without that the expensive row-local stages (the
-    repetition Arrow pass especially) would recompute per scan per stage.
-    `caches` as in operators.dedup.compute_once: pass a list for the
-    fault-tolerant persist path on long jobs (caller unpersists);
-    default is a lazy localCheckpoint."""
+) -> DataFrame:
+    """Apply the ROW-LOCAL stages (null_text -> lang -> quality ->
+    gopher_quality -> repetition -> c4) and return the input columns plus
+    `_reason` (NULL = passed every enabled row-local rule). This is the
+    per-row half of curate(), shared with streaming.stream_curate — the
+    corpus-level stages (dedup/budget) need cross-row state and live in
+    curate() / stream_incremental_dedup."""
     from .functions.text import (
         c4_clean,
-        corpus_datacard,
         gopher_quality_filter,
         gopher_repetition_filter,
         lang_id,
         quality_score,
-        token_count_ws,
     )
-
-    if config.near_dup not in (None, "minhash", "jaccard"):
-        raise ValueError(f"near_dup must be None|'minhash'|'jaccard', got {config.near_dup!r}")
 
     cols = df.columns
     d = df
@@ -133,12 +119,40 @@ def curate(
         d = c4_clean(d, text_col)
         conds.append(("c4", ~F.col("keep_c4")))
 
-    from .operators.dedup import compute_once
-
     reason = F.lit(None).cast("string")
     for r, cond in reversed(conds):
         reason = F.when(cond, F.lit(r)).otherwise(reason)
-    flagged = compute_once(d.select(*cols, reason.alias("_reason")), caches)
+    return d.select(*cols, reason.alias("_reason"))
+
+
+def curate(
+    df: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    caches: list | None = None,
+) -> dict:
+    """Run the configured recipe. Returns
+    {"kept": <surviving rows, original columns>,
+     "audit": <(id, reason) for EVERY input row; kept rows have NULL>,
+     "datacard": <corpus_datacard of kept, or None without group_col>}.
+    All three are lazy DataFrames sharing one lineage.
+
+    Each stage's survivor frame feeds 2-3 downstream scans (keeper agg +
+    drop anti-join + semi-join back), so it is materialized ONCE via
+    compute_once — without that the expensive row-local stages (the
+    repetition Arrow pass especially) would recompute per scan per stage.
+    `caches` as in operators.dedup.compute_once: pass a list for the
+    fault-tolerant persist path on long jobs (caller unpersists);
+    default is a lazy localCheckpoint."""
+    from .functions.text import corpus_datacard, token_count_ws
+    from .operators.dedup import compute_once
+
+    if config.near_dup not in (None, "minhash", "jaccard"):
+        raise ValueError(f"near_dup must be None|'minhash'|'jaccard', got {config.near_dup!r}")
+
+    cols = df.columns
+    flagged = compute_once(flag_rows(df, config, text_col), caches)
     audits = [flagged.filter(F.col("_reason").isNotNull()).select(id_col, F.col("_reason").alias("reason"))]
     surv = flagged.filter(F.col("_reason").isNull()).drop("_reason")
 

@@ -590,3 +590,70 @@ def stream_incremental_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    config=None,
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming curation (crawl-ingest filtering): per micro-batch, apply
+    curate()'s ROW-LOCAL stages (null_text -> lang -> quality -> gopher ->
+    c4 via curate.flag_rows) and write EVERY row to the audit sink with
+    its first-match reason ('kept' for survivors) — nothing dropped
+    silently, the same totality contract as batch curate().
+
+    Exactly-once sink: foreachBatch is at-least-once, so the write is an
+    idempotent REPLACE of this batch's partition (dynamic partition
+    overwrite on `_batch_id` — the stream_pipeline convention).
+
+    Corpus-LEVEL stages are inherently cross-batch state and are
+    deliberately NOT silently ignored: a config with exact_dedup /
+    near_dup / token budget enabled raises — streaming dedup against the
+    growing corpus is `stream_incremental_dedup` (compose: this sink's
+    kept partition feeds it), and a budget over an unbounded stream is
+    not well-defined (re-draw it in batch over the accumulated sink).
+
+    Returns the StreamingQuery."""
+    from ..curate import CurationConfig, flag_rows
+
+    config = config or CurationConfig(exact_dedup=False)
+    corpus_stages = []
+    if config.exact_dedup:
+        corpus_stages.append("exact_dedup")
+    if config.near_dup is not None:
+        corpus_stages.append("near_dup")
+    if config.token_budget_per_group is not None:
+        corpus_stages.append("token_budget_per_group")
+    if corpus_stages:
+        raise ValueError(
+            "stream_curate runs row-local stages only; disable "
+            f"{corpus_stages} (use stream_incremental_dedup for streaming "
+            "dedup; draw budgets in batch over the accumulated sink)"
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = (
+            flag_rows(batch_df, config, text_col)
+            .withColumn("reason", F.coalesce(F.col("_reason"), F.lit("kept")))
+            .drop("_reason")
+        )
+        (
+            out.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -570,3 +570,52 @@ def test_stream_incremental_dedup_across_batches_and_retry(spark, tmp_path):
     )
     assert {r.doc_id for r in spark.read.parquet(out_dir).collect()} == {1, 3, 11}
     spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_stream_curate_rows_reasons_and_idempotency(spark, tmp_path):
+    """Streaming curation: per-batch row-local reasons with the audit
+    totality contract (every row in the sink exactly once, 'kept' for
+    survivors); a second availableNow run over a NEW file adds only the
+    new batch; corpus-stage configs fail fast."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from log_analysis_ai_spark.curate import CurationConfig
+    from log_analysis_ai_spark.streaming.stream import stream_curate
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    out_dir = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ck")
+    en = ("the cat sat on the mat and then the dog ran to the park with a "
+          "ball while the sun was high")
+    b1 = [(0, en), (1, "le chat est sur le tapis et le chien dans le jardin"),
+          (2, None)]
+    b2 = [(3, en + " again"), (4, "??!!..~~//||@@##====!!!!")]
+
+    def write_file(name, rows):
+        with open(f"{in_dir}/{name}", "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    cfg = CurationConfig(exact_dedup=False)
+
+    def run():
+        src = spark.readStream.schema("doc_id long, text string").json(in_dir)
+        stream_curate(src, out_dir, ckpt, cfg).awaitTermination(120)
+
+    write_file("b1.jsonl", b1)
+    run()
+    got1 = {r.doc_id: r.reason for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {0: "kept", 1: "lang", 2: "null_text"}
+
+    write_file("b2.jsonl", b2)
+    run()
+    got2 = {r.doc_id: r.reason for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {0: "kept", 1: "lang", 2: "null_text", 3: "kept", 4: "lang"}
+    # totality: one row per input, batch partitions disjoint
+    assert spark.read.parquet(out_dir).count() == 5
+
+    with _pytest.raises(ValueError, match="stream_curate runs row-local"):
+        src = spark.readStream.schema("doc_id long, text string").json(in_dir)
+        stream_curate(src, out_dir, ckpt, CurationConfig())
