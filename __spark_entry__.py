@@ -2167,21 +2167,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_page_keyset": _events_page_keyset,
         "events_heavy_hitters": _events_heavy_hitters,
         # -- curation / sampling ----------------------------------------
-        "events_hash_split": _events_hash_split,
         "events_scrub_pii": _events_scrub_pii,
         "docs_sample_deterministic": _docs_sample_deterministic,
         "events_stratified_cap": _events_stratified_cap,
         "docs_token_budget": _docs_token_budget,
         "part_type_stats": _part_type_stats,
         # -- documents / LLM-data pipeline ------------------------------
-        # (r8: docs_nb_classifier and docs_url_filter — the round's two
-        # new operator FAMILIES — took the window slots of docs_search
-        # and events_pivot_user, which moved past the cap; every past-cap
+        # (r8: docs_nb_classifier + docs_url_filter — the round's two new
+        # operator FAMILIES — and docs_curated + stream_curated_counts —
+        # the composed-recipe capstones, whose oracles prove stage WIRING
+        # end to end — took the window slots of docs_search,
+        # events_pivot_user, events_hash_split and docs_dedup_exact
+        # (each redundant with an in-window relative: bm25, the window
+        # family, docs_sample_deterministic, and docs_dedup_groups +
+        # docs_curated's exact-dedup stage respectively); every past-cap
         # oracle stays CI-pinned by tests/test_past_cap_oracles.py)
         "docs_nb_classifier": _docs_nb_classifier,
         "docs_url_filter": _docs_url_filter,
+        "docs_curated": _docs_curated,
+        "stream_curated_counts": _stream_curated_counts,
         "docs_bm25": _docs_bm25,
-        "docs_dedup_exact": _docs_dedup_exact,
         "docs_dedup_groups": _docs_dedup_groups,
         "docs_minhash_groups": _docs_minhash_groups,
         "docs_ngram_jaccard_dups": _docs_ngram_jaccard_dups,
@@ -2235,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_html_stripped": _docs_html_stripped,
         "docs_search": _docs_search,
         "events_pivot_user": _events_pivot_user,
+        "events_hash_split": _events_hash_split,
+        "docs_dedup_exact": _docs_dedup_exact,
         "docs_interleaved": _docs_interleaved,
         "docs_datacard": _docs_datacard,
         "docs_curated": _docs_curated,
