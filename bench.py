@@ -49,6 +49,7 @@ HEADLINE = [
     "docs_url_filter",
     "docs_interleaved",
     "docs_datacard",
+    "docs_curated",
 ]
 
 # queries whose first run is dominated by one-time whole-stage-codegen
@@ -108,7 +109,8 @@ METRIC_NOTES = [
     "r8 (late): HEADLINE gained docs_nb_classifier (closed-form NB "
     "train+score), docs_url_filter (canonicalize/blocklist/dedup), "
     "docs_interleaved (weighted mixing order), docs_datacard (per-source "
-    "composition report); `value_comparable` excludes all four.",
+    "composition report), and docs_curated (the composed 4-stage "
+    "curate() recipe); `value_comparable` excludes all five.",
 ]
 
 # the r5-era headline set — `value_comparable` sums exactly these keys (+
@@ -127,6 +129,7 @@ R5_COMPARABLE = [
         "docs_url_filter",
         "docs_interleaved",
         "docs_datacard",
+        "docs_curated",
     )
 ]
 
