@@ -1546,6 +1546,26 @@ def _html_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS text_clean FROM documents ORDER BY doc_id"
 
 
+def _events_topk_by_type(spark, sf_dir):
+    """Exact per-group top-k via the hot-group-safe two-phase reduction
+    (per-partition Arrow local top-k -> k-bounded per-group merge) —
+    NEITHER a window over the raw group key (one task per hot group) NOR
+    sort_array(collect_list) (whole group in one agg buffer). Exactness
+    + parallelism invariance pinned in tests/test_topk.py; the oracle is
+    the straightforward ROW_NUMBER spelling with the identical total
+    order, so the hash gate proves the reduction == the naive rank."""
+    from log_analysis_ai_spark.operators.topk import grouped_topk
+
+    d = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return (
+        grouped_topk(d, "event_type", "value", 5, "event_id")
+        .select(
+            "event_type", "event_id", F.round("value", 6).alias("value"), "rk"
+        )
+        .orderBy("event_type", "rk")
+    )
+
+
 def _stream_curated_counts(spark, sf_dir):
     """STREAMING curation: documents -> JSONL files -> readStream
     (availableNow) -> stream_curate (curate()'s row-local stages per
@@ -2244,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_exact": _docs_dedup_exact,
         "docs_interleaved": _docs_interleaved,
         "docs_datacard": _docs_datacard,
+        "events_topk_by_type": _events_topk_by_type,
         "docs_curated": _docs_curated,
         "stream_curated_counts": _stream_curated_counts,
         "emb_ivf_topk": _emb_ivf_topk,
@@ -3284,6 +3305,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, coalesce(reason, 'kept') AS reason FROM b
             ) ORDER BY doc_id
         """.replace("{LANGID}", _langid_sql_expr()),
+        # the naive rank spelling — the hash gate proves the two-phase
+        # reduction equals it
+        "events_topk_by_type": """
+            SELECT event_type, event_id, round(value, 6) AS value, rk FROM (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id
+                     ) AS rk
+              FROM events)
+            WHERE rk <= 5 ORDER BY event_type, rk
+        """,
         "docs_datacard": """
             WITH base AS (
               SELECT source, count(*) AS n_docs,

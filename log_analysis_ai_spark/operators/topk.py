@@ -1,0 +1,88 @@
+"""Exact per-group top-k that never serializes a hot group into one task.
+
+The two obvious Spark spellings both break at scale on skewed groups:
+- `row_number() OVER (PARTITION BY g ORDER BY v)` + filter <= k: one
+  window TASK per group — a billion-row group runs on one core (the
+  hot-key shape this engine defuses everywhere);
+- `slice(sort_array(collect_list(struct(...))), 1, k)`: the aggregation
+  buffer holds the ENTIRE group before the slice — partial aggregation
+  does not prune collect_list, so the hot group OOMs the map side.
+
+This module uses the classic exact two-phase reduction instead:
+
+  phase 1  per-PARTITION local top-k per group (one Arrow mapInPandas
+           pass, pandas sort+head per (partition, group) — memory is
+           bounded by groups-in-partition x k, never by group size);
+  phase 2  global top-k over the union of local winners: at most
+           num_partitions x k rows per group reach the shuffle, so the
+           per-group window runs on a k-bounded task no matter how hot
+           the group was.
+
+EXACTNESS: any row in the true global top-k of group g is in the top-k
+of its own partition's g-rows (fewer rows can only rank it higher), so
+phase 1 never discards a global winner. Ties are totally ordered by
+`tie_cols` (required — without a total order "top k" is not a
+well-defined set and the result would be parallelism-dependent), so the
+result is a pure function of the data, and the whole operator is
+SQL-expressible for the oracle (ROW_NUMBER with the identical ORDER BY).
+
+Reference parallel: the reference's top-n tooling is global ORDER BY +
+LIMIT (TakeOrderedAndProject here, e.g. `top_orders`); per-group top-k
+is the grouped generalization (cited: queries.py top-n surface).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols,
+    order_col: str,
+    k: int,
+    tie_cols,
+    ascending: bool = False,
+) -> DataFrame:
+    """Top `k` rows per group by `order_col` (descending by default),
+    ties broken by `tie_cols` ASCENDING (a total order per group is
+    required for a deterministic result). Returns the input columns plus
+    `rk` (1-based rank within the group). Exact, parallelism-invariant,
+    hot-group-safe (see module docstring)."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    tie_cols = [tie_cols] if isinstance(tie_cols, str) else list(tie_cols)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not tie_cols:
+        raise ValueError("tie_cols is required: without a total order, top-k is not deterministic")
+    cols = df.columns
+    sort_cols = [order_col] + tie_cols
+    sort_asc = [ascending] + [True] * len(tie_cols)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one partition = one iterator; concat its batches so the local
+        # winners are per-PARTITION (k per group per partition), then
+        # emit only those — the data reaching the shuffle is k-bounded
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        yield (
+            pdf.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+            .groupby(group_cols, sort=False, dropna=False)
+            .head(k)
+        )
+
+    local = df.select(*cols).mapInPandas(local_topk, schema=df.select(*cols).schema)
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()] + [
+        F.col(c).asc() for c in tie_cols
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
