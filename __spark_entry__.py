@@ -2265,8 +2265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_interleaved": _docs_interleaved,
         "docs_datacard": _docs_datacard,
         "events_topk_by_type": _events_topk_by_type,
-        "docs_curated": _docs_curated,
-        "stream_curated_counts": _stream_curated_counts,
+        # (docs_curated / stream_curated_counts live in the in-window
+        # section above — ADVICE r8: their past-cap re-listing was a dead
+        # duplicate dict key, removed)
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_topk_batch": _emb_topk_batch,
         "emb_ivf_indexed_topk": _emb_ivf_indexed_topk,

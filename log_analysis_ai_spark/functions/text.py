@@ -769,11 +769,14 @@ def corpus_datacard(
     )
     # distinct texts per group via an inner agg on (group, text) — the
     # shuffle key includes the text hash, so a group with 10^9 docs is
-    # spread over the cluster, not one task
+    # spread over the cluster, not one task. NULL texts are excluded from
+    # the count (SQL count(DISTINCT text) semantics — ADVICE r8: the
+    # pre-r9 bucket count scored a NULL-text bucket as one distinct
+    # "text"); a group whose every text is NULL still appears, with 0.
     dist = (
         df.groupBy(group_col, F.xxhash64(text_col).alias("_th"))
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max(F.col(text_col).isNotNull()).alias("_nn"))
         .groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("distinct_texts"))
+        .agg(F.count(F.when(F.col("_nn"), 1)).alias("distinct_texts"))
     )
     return base.join(dist, group_col)

@@ -148,20 +148,25 @@ def nb_score(
     text is NULL or has no tokens keep the PRIOR as their score (zero
     evidence — the closed form's answer, via the left join's NULL sum →
     coalesce to 0). One corpus-sized join on `word` + one partial agg."""
+    # collision-safe internal names (ADVICE r8): a caller whose df already
+    # carries `prior`/`_evidence` columns would otherwise hit an ambiguous
+    # reference (or lose its column to the final drop)
     tok = _tokens(df, col, id_col)
     evid = (
         tok.join(weights, "word", "left")
-        .crossJoin(F.broadcast(stats.select("prior", "w_unseen")))
-        .select(id_col, F.coalesce(F.col("w"), F.col("w_unseen")).alias("_w"))
+        .crossJoin(F.broadcast(stats.select(F.col("w_unseen").alias("__nb_w_unseen"))))
+        .select(id_col, F.coalesce(F.col("w"), F.col("__nb_w_unseen")).alias("_w"))
         .groupBy(id_col)
-        .agg(F.sum("_w").alias("_evidence"))
+        .agg(F.sum("_w").alias("__nb_evidence"))
     )
     return (
         df.join(evid, id_col, "left")
-        .crossJoin(F.broadcast(stats.select("prior")))
-        .withColumn(out_col, F.col("prior") + F.coalesce(F.col("_evidence"), F.lit(0.0)))
+        .crossJoin(F.broadcast(stats.select(F.col("prior").alias("__nb_prior"))))
+        .withColumn(
+            out_col, F.col("__nb_prior") + F.coalesce(F.col("__nb_evidence"), F.lit(0.0))
+        )
         .withColumn(f"{out_col}_pred", F.col(out_col) > 0)
-        .drop("_evidence", "prior")
+        .drop("__nb_evidence", "__nb_prior")
     )
 
 

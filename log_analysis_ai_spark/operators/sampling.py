@@ -279,9 +279,12 @@ def token_budget_sample(
     the bucketed path against the UNSALTED single-window oracle SQL, so
     the driver's hash gate re-proves the decomposition every round.
 
-    Cost note: pass 1 + pass 2 scan the input twice (same two-pass shape
-    as `sketches.heavy_hitters`); at scale, point both at the same cached
-    or on-disk projection of (group, weight, key).
+    Cost note: pass 1 + pass 2 are two scans (same two-pass shape as
+    `sketches.heavy_hitters`); the bucketed path materializes the
+    (input + hash/weight/bucket) projection ONCE via compute_once
+    (lazy localCheckpoint) so the weight expression — typically a token
+    count over text — is computed a single time and both passes read the
+    materialized rows (r9).
 
     `weight_col` must be non-negative and non-null (raise-free contract:
     NULL weights fail fast with a clear error rather than silently
@@ -319,7 +322,14 @@ def token_budget_sample(
     S = int(cutoff_buckets)
     width = max(1, hash_range // S)
     bucket = F.floor(F.col("_h") / F.lit(width))
-    base = base.withColumn("_b", bucket)
+    # materialize (input + _h/_w/_b) ONCE: pass 1's aggregate and pass 2's
+    # window otherwise each re-execute the full input lineage — including
+    # the weight projection, typically a token count over text (r9; the
+    # docstring's "point both passes at the same cached projection" cost
+    # note, now done by the operator itself via compute_once)
+    from .dedup import compute_once
+
+    base = compute_once(base.withColumn("_b", bucket))
 
     # pass 1: per-(group, bucket) weight totals -> driver cutoff walk
     totals = (

@@ -804,19 +804,26 @@ def test_c4_span_dedup_matches_bruteforce(spark):
 
 
 def test_c4_span_dedup_plan_shape(spark):
-    """Scale pin (r8 hot-key defusal): the kept occurrence per span is
-    found by a PARTIAL-aggregating groupBy over xxhash64(span) — the plan
-    must carry a partial_min upstream of its exchange (map-side combine is
-    what absorbs a million-occurrence boilerplate span) and NO WindowExec
-    keyed on the span hash (the r7 shape, which serialized the hottest
-    span into one task). At most three hash exchanges: the keeper agg, the
-    occurrence-marking equi-join probe (both corpus-sized but skew-safe —
-    combine-absorbed and AQE-splittable respectively; the join may instead
-    BROADCAST the keeper side when stats allow), and the duplicate-sized
-    groupBy(id); never a cartesian product, and the span string is never a
-    shuffle KEY — only the 64-bit hash is. (min(struct) plans as
-    SortAggregate — struct buffers aren't hash-aggregable — but PARTIAL
-    mode, the property that absorbs the hot key, is what's pinned.)"""
+    """Scale pin (r8 hot-key defusal + r9 hash-only exchanges): the kept
+    occurrence per span is found by a PARTIAL-aggregating groupBy over
+    xxhash64(span) — the plan must carry a partial_min upstream of its
+    exchange (map-side combine is what absorbs a million-occurrence
+    boilerplate span) and NO WindowExec keyed on the span hash (the r7
+    shape, which serialized the hottest span into one task). r9 (VERDICT
+    r8 'what's wrong' #1, the substring_dedup shape): the span-text column
+    `_sp` is GONE from the plan entirely — the explode projects only
+    (id, si, xxhash64(span)), so every span-hash exchange ships 24-byte
+    rows, and span text is re-derived for CANDIDATES only via id-keyed
+    joins back to the materialized sentence table (`_st`/`_kt` transient
+    confirm columns live only in the CANDIDATE-sized confirm subplan;
+    those and the `_sents` arrays never appear in a hashpartitioning
+    KEY). At most five hash exchanges: keeper agg,
+    occurrence-marking probe, the two candidate-sized confirm joins, and
+    the duplicate-sized groupBy(id) — all hash/id-keyed, all skew-safe
+    (combine-absorbed or AQE-splittable). Never a cartesian product.
+    (min(struct) plans as SortAggregate — struct buffers aren't
+    hash-aggregable — but PARTIAL mode, the property that absorbs the hot
+    key, is what's pinned.)"""
     import re
 
     from log_analysis_ai_spark.operators.dedup import c4_span_dedup
@@ -828,12 +835,17 @@ def test_c4_span_dedup_plan_shape(spark):
     plan = c4_span_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # no WindowExec anywhere in this operator
     assert "partial_min" in plan  # map-side combine BEFORE the keeper shuffle
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+    assert "_sp#" not in plan  # span text column no longer exists at all
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 5
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan
-    # the span text itself never appears as a hashpartitioning key
+    # no text/sentence column is ever a shuffle KEY
     for key in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "_sp#" not in key, key
+        assert "_st#" not in key and "_kt#" not in key and "_sents#" not in key, key
+    # the keeper aggregation folds only (id, position) — span text is not
+    # part of the min(struct) buffer (the r8 shape carried _sp there)
+    for agg in re.findall(r"partial_min\(([^)]*)\)", plan):
+        assert "_sp" not in agg and "_st" not in agg and "_sents" not in agg, agg
 
 
 def test_c4_span_dedup_invariant_to_parallelism(spark):
