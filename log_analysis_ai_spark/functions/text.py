@@ -519,11 +519,18 @@ def gopher_quality_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
     alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
     low = F.transform(toks, F.lower)
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(low, s),
-        )
+    # bind the lowered-token array once: the lambda otherwise re-splits and
+    # re-lowers the text once PER STOPWORD (operators/dedup.bind_once)
+    from ..operators.dedup import bind_once
+
+    stop_hits = bind_once(
+        low,
+        lambda lw: F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(lw, s),
+            )
+        ),
     )
     return (
         df.withColumn("n_words", n_words)

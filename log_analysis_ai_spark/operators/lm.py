@@ -122,5 +122,34 @@ def lm_perplexity(
     """Self-trained convenience: train on `df`, score `df` — the CCNet
     shape where the reference corpus IS the crawl being ranked. For a
     frozen external model, call train_bigram_lm once, persist, and pass
-    it to bigram_lm_score."""
-    return bigram_lm_score(df, train_bigram_lm(df, col, id_col), col, id_col, alpha)
+    it to bigram_lm_score.
+
+    r9: the training counts and the scoring stream are the SAME bigram
+    explode, so it is materialized once (compute_once, after widening a
+    narrow scan) and both sides read it — the pre-r9 composition ran the
+    corpus tokenize+explode twice (guide §2.3: don't compute things
+    twice). Same expressions, identical output."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    from .dedup import compute_once, widen_if_narrow
+
+    bg = compute_once(_bigrams(widen_if_narrow(df), col, id_col))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    model = cb.join(cb.groupBy("w1").agg(F.sum("cb").alias("cu")), "w1")
+    scored = (
+        bg.join(model, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vocab_size(model)))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(alpha) * F.col("V"))
+                )
+            ).alias("_nll"),
+        )
+        .groupBy(id_col)
+        .agg(F.avg("_nll").alias("lm_cross_entropy"))
+        .withColumn("lm_perplexity", F.exp("lm_cross_entropy"))
+    )
+    return df.join(scored, id_col, "left")

@@ -113,6 +113,49 @@ def test_grouped_topk_folds_batches_incrementally(spark):
             assert got[(g, rk)] == (row.v, row.id)
 
 
+def test_simhash_batch_fold_bit_equal_to_rowwise(spark):
+    """The r9 batch-vectorized SimHash fold must be BIT-EQUAL to the r8
+    per-row fold (replicated here verbatim) on mixed-length docs including
+    empty and None token lists."""
+    import numpy as np
+
+    from log_analysis_ai_spark.operators.dedup import simhash_docs
+
+    texts = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta gamma"),
+        (2, "one"),
+        (3, ""),
+        (4, "a much longer text with many more tokens in it than the others"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+
+    from log_analysis_ai_spark.hashing import xxh64
+
+    def rowwise(text):
+        if text is None:
+            toks = [None]
+        else:
+            import re
+
+            toks = re.split(" +", text.lower())
+        hs = [xxh64(t) for t in toks if t is not None]
+        if not hs:
+            return 0
+        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        return int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0].astype(np.int64))
+
+    for doc_id, text in texts:
+        if text is None:
+            continue  # split(NULL) yields no hash array either way
+        assert got[doc_id] == rowwise(text), doc_id
+    assert got[0] == got[1]
+
+
 def test_nb_score_survives_caller_prior_and_evidence_columns(spark):
     """ADVICE r8: internal join columns are now collision-safe — a caller
     whose frame already has `prior` / `_evidence` columns must score
