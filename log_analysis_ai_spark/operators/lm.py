@@ -125,15 +125,18 @@ def lm_perplexity(
     it to bigram_lm_score.
 
     r9: the training counts and the scoring stream are the SAME bigram
-    explode, so it is materialized once (compute_once, after widening a
-    narrow scan) and both sides read it — the pre-r9 composition ran the
-    corpus tokenize+explode twice (guide §2.3: don't compute things
-    twice). Same expressions, identical output."""
+    explode, so it is materialized once (compute_once) and both sides
+    read it — the pre-r9 composition ran the corpus tokenize+explode
+    twice (guide §2.3: don't compute things twice). Same expressions,
+    identical output. (No widen_if_narrow here: the explode's output is
+    immediately shuffled by the aggregations, so pre-widening a narrow
+    scan only adds a repartition — measured slower at sandbox scale and
+    a no-op decision at cluster scale where scans arrive wide.)"""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
-    from .dedup import compute_once, widen_if_narrow
+    from .dedup import compute_once
 
-    bg = compute_once(_bigrams(widen_if_narrow(df), col, id_col))
+    bg = compute_once(_bigrams(df, col, id_col))
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     model = cb.join(cb.groupBy("w1").agg(F.sum("cb").alias("cu")), "w1")
     scored = (
