@@ -921,8 +921,12 @@ def c4_span_dedup(
     n_removed_sentences."""
     sent_re = r"[^.!?]+[.!?]+"
     sents = F.regexp_extract_all(F.col(text_col), F.lit(sent_re), F.lit(0))
+    # widen BEFORE the materialized projection: the span hashing explode
+    # reads the checkpoint, so a one-row-group scan would otherwise hash
+    # the whole corpus in one task (no-op at cluster scale)
     base = compute_once(
-        df.select(F.col(id_col).alias("_id"), sents.alias("_sents")), caches
+        widen_if_narrow(df).select(F.col(id_col).alias("_id"), sents.alias("_sents")),
+        caches,
     )
     n_spans = F.size("_sents") - F.lit(span_sentences - 1)
     # sequence(1, 0) would count DOWN in Spark — clamp then filter instead
@@ -1128,8 +1132,11 @@ def substring_dedup(
     scanned by the explode and the two candidate-sized confirm joins).
     Returns all original columns + clean_text + n_removed_tokens."""
     W = window_tokens
+    # widen BEFORE the materialized projection: the rolling-hash window
+    # stream reads the checkpoint, so a one-row-group scan would otherwise
+    # run it as one task (no-op at cluster scale)
     base = compute_once(
-        df.select(
+        widen_if_narrow(df).select(
             F.col(id_col).alias("_id"),
             F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0)).alias("_toks"),
         ),
