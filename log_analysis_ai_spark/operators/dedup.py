@@ -784,10 +784,16 @@ def simhash_signature_udf():
             flat = np.concatenate(arrs).view(np.uint64)
             starts = np.zeros(len(arrs), dtype=np.int64)
             np.cumsum(ms[:-1], out=starts[1:])
+            # uint8 bit-planes (1 byte/bit, 8× less transient memory than a
+            # ±1 int64 matrix); Σ(2b−1) = 2·Σb − m exactly, so the sign
+            # rule is unchanged
             bits = (
                 (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            ).astype(np.int64)
-            acc = np.add.reduceat(2 * bits - 1, starts, axis=0)
+            ).astype(np.uint8)
+            # dtype=int64 on the reduction: a uint8 accumulator would wrap
+            # at 256 set bits per doc
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+            acc = 2 * ones - ms[:, None]
             out[rows] = (
                 np.packbits(acc > 0, axis=1, bitorder="little")
                 .view(np.uint64)

@@ -128,6 +128,9 @@ def test_simhash_batch_fold_bit_equal_to_rowwise(spark):
         (3, ""),
         (4, "a much longer text with many more tokens in it than the others"),
         (5, None),
+        # > 255 occurrences of a bit — guards the reduction's accumulator
+        # dtype (a uint8 reduceat would wrap at 256 set bits per doc)
+        (6, " ".join(f"tok{i % 7}" for i in range(600))),
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     got = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
