@@ -934,22 +934,22 @@ def c4_span_dedup(
         widen_if_narrow(df).select(F.col(id_col).alias("_id"), sents.alias("_sents")),
         caches,
     )
-    n_spans = F.size("_sents") - F.lit(span_sentences - 1)
-    # sequence(1, 0) would count DOWN in Spark — clamp then filter instead
-    idxs = F.filter(
-        F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))), lambda i: i <= n_spans
-    )
-    # hash inside the projection: the exchange carries (_id, _si, _h) only
-    spans = F.transform(
-        idxs,
-        lambda i: F.struct(
-            (i - 1).alias("si"),
-            F.xxhash64(F.concat_ws("", F.slice("_sents", i, span_sentences))).alias("h"),
+    # span stream (r9): one per-sentence xxhash64 pass + the shared Arrow
+    # rolling-hash window builder (_window_hash_stream) — the exchange
+    # carries (_id, _si, _h) only, and hashing costs O(corpus chars)
+    # instead of O(span_sentences × corpus chars) of per-span concat+hash.
+    # Grouping is unchanged: a sentence sequence and its concatenation
+    # determine each other (sentences are the maximal `[^.!?]+[.!?]+` runs
+    # of the concatenation, a unique decomposition), so spans are equal
+    # iff their sentence-hash sequences are — the same equivalence classes
+    # either hash keys, up to the family's ~2^-64 collision odds, and the
+    # exact-text confirm below is unchanged.
+    ex = _window_hash_stream(
+        base.select(
+            "_id", F.transform("_sents", lambda s: F.xxhash64(s)).alias("_toks")
         ),
-    )
-    ex = base.select("_id", F.explode(spans).alias("_s")).select(
-        "_id", F.col("_s.si").alias("_si"), F.col("_s.h").alias("_h")
-    )
+        span_sentences,
+    ).withColumnRenamed("_ti", "_si")
     # one keeper row per DUPLICATED span hash; (id, position) is unique so
     # the min(struct) order is total — partial_min absorbs hot spans map-side
     keepers = (
